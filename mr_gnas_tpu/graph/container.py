@@ -133,6 +133,7 @@ def as_edge_graph(block: Block) -> "EdgeGraph":
     return EdgeGraph(
         dst=block.dst_pos,
         edge_mask=block.edge_mask,
+        node_mask=block.dst_mask,
         n_edges=block.n_edges,
         n_nodes=block.n_dst,
     )
@@ -148,5 +149,6 @@ class EdgeGraph:
 
     dst: jax.Array
     edge_mask: jax.Array
+    node_mask: jax.Array
     n_edges: int = flax.struct.field(pytree_node=False)
     n_nodes: int = flax.struct.field(pytree_node=False)

@@ -170,7 +170,13 @@ def test_nc_aggregators(rng, name):
     e, n = 9, 4
     dst = np.array([0, 0, 1, 2, 2, 2, 3, 4, 4], dtype=np.int32)  # 4 = padding seg
     mask = (dst < n).astype(np.float32)
-    g = EdgeGraph(dst=jnp.asarray(dst), edge_mask=jnp.asarray(mask), n_edges=e, n_nodes=n)
+    g = EdgeGraph(
+        dst=jnp.asarray(dst),
+        edge_mask=jnp.asarray(mask),
+        node_mask=jnp.ones(n, dtype=jnp.float32),
+        n_edges=e,
+        n_nodes=n,
+    )
     h = rng.normal(size=(e, D)).astype(np.float32)
     out, v = _apply("nc", name, g, jnp.asarray(h), jnp.asarray(h))
     msg = h
