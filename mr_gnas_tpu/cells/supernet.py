@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mr_gnas_tpu.cells.genotype import CellSpec
-from mr_gnas_tpu.models.layers import MaskedBatchNorm
+from mr_gnas_tpu.layers import MaskedBatchNorm
 from mr_gnas_tpu.ops.message_ops import dense
 from mr_gnas_tpu.ops.registry import OpArgs, make_op
 

@@ -1,0 +1,127 @@
+"""Knowledge-graph triple datasets (FB15k-237, WN18RR, and synthetic).
+
+Replaces the reference's DGL-bound loaders (``dgl.contrib.data.load_data``
+at search/mr_lp_search.py:51; DGL-KE ``get_dataset`` at
+train/mr_lp_train.py:40) with a plain-file loader over the standard
+``train.txt / valid.txt / test.txt`` tab-separated ``head rel tail``
+format (with optional ``entities.dict / relations.dict`` vocabularies),
+plus a deterministic synthetic generator for tests and benchmarks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class KGDataset:
+    name: str
+    num_ent: int
+    num_rels: int
+    train: np.ndarray  # [n, 3] (s, r, o) int64
+    valid: np.ndarray
+    test: np.ndarray
+
+
+def _read_dict(path: str) -> dict[str, int]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            idx, name = line.rstrip("\n").split("\t")
+            out[name] = int(idx)
+    return out
+
+
+def load_kg_dir(path: str, name: str | None = None) -> KGDataset:
+    """Load a KG from a directory of train/valid/test triple files."""
+    ent2id: dict[str, int] = {}
+    rel2id: dict[str, int] = {}
+    if os.path.exists(os.path.join(path, "entities.dict")):
+        ent2id = _read_dict(os.path.join(path, "entities.dict"))
+        rel2id = _read_dict(os.path.join(path, "relations.dict"))
+        frozen = True
+    else:
+        frozen = False
+
+    def get(d, k):
+        if k not in d:
+            if frozen:
+                raise KeyError(f"unknown symbol {k!r}")
+            d[k] = len(d)
+        return d[k]
+
+    splits = {}
+    for split in ("train", "valid", "test"):
+        fp = os.path.join(path, f"{split}.txt")
+        rows = []
+        with open(fp) as f:
+            for line in f:
+                h, r, t = line.rstrip("\n").split("\t")
+                rows.append((get(ent2id, h), get(rel2id, r), get(ent2id, t)))
+        splits[split] = np.asarray(rows, dtype=np.int64)
+    return KGDataset(
+        name=name or os.path.basename(os.path.normpath(path)),
+        num_ent=len(ent2id),
+        num_rels=len(rel2id),
+        train=splits["train"],
+        valid=splits["valid"],
+        test=splits["test"],
+    )
+
+
+def synthetic_kg(
+    num_ent: int = 200,
+    num_rels: int = 11,
+    n_train: int = 1000,
+    n_valid: int = 100,
+    n_test: int = 100,
+    seed: int = 0,
+) -> KGDataset:
+    """Deterministic synthetic KG with mildly structured triples.
+
+    Relations connect entity clusters so that link prediction is learnable
+    (not pure noise): relation r links cluster (c) -> cluster ((c + r) % k).
+    """
+    rng = np.random.default_rng(seed)
+    k = max(4, num_rels)
+    cluster = rng.integers(0, k, size=num_ent)
+    by_cluster = [np.where(cluster == c)[0] for c in range(k)]
+    by_cluster = [c if len(c) else np.array([0]) for c in by_cluster]
+
+    def sample(n):
+        s = rng.integers(0, num_ent, size=n)
+        r = rng.integers(0, num_rels, size=n)
+        dst_cluster = (cluster[s] + r) % k
+        o = np.array([rng.choice(by_cluster[c]) for c in dst_cluster])
+        return np.stack([s, r, o], axis=1).astype(np.int64)
+
+    all_t = sample(n_train + n_valid + n_test)
+    all_t = np.unique(all_t, axis=0)
+    rng.shuffle(all_t)
+    n_train = min(n_train, len(all_t) - 2)
+    n_valid = min(n_valid, (len(all_t) - n_train) // 2)
+    return KGDataset(
+        name="synthetic",
+        num_ent=num_ent,
+        num_rels=num_rels,
+        train=all_t[:n_train],
+        valid=all_t[n_train : n_train + n_valid],
+        test=all_t[n_train + n_valid :],
+    )
+
+
+def load_dataset(name_or_path: str, data_root: str = "data") -> KGDataset:
+    """Resolve a dataset by name (under data_root) or explicit path."""
+    if name_or_path == "synthetic":
+        return synthetic_kg()
+    if os.path.isdir(name_or_path):
+        return load_kg_dir(name_or_path)
+    cand = os.path.join(data_root, name_or_path)
+    if os.path.isdir(cand):
+        return load_kg_dir(cand, name=name_or_path)
+    raise FileNotFoundError(
+        f"dataset {name_or_path!r} not found (looked in {cand!r}); "
+        "provide a directory with train.txt/valid.txt/test.txt"
+    )

@@ -1,0 +1,151 @@
+"""Host-side samplers for LP search training.
+
+Numpy ports (device-free, static-shape emitting) of the reference's
+sampling pipeline:
+  * ``get_adj_and_degrees``            (utils/utils_rgcn.py:18-28)
+  * ``sample_edge_uniform``            (utils/utils_rgcn.py:74-77)
+  * ``sample_edge_neighborhood``       (utils/utils_rgcn.py:30-72)
+  * ``negative_sampling``              (utils/utils_rgcn.py:191-204)
+  * ``generate_sampled_graph_and_labels`` (utils/utils_rgcn.py:79-118)
+
+The sampled-graph generator emits a padded :class:`RelGraph` whose static
+shape depends only on (sample_size, split_size, n_nodes_pad) so every
+search step reuses the same compiled program. Negative-sample triplet
+count is exactly ``sample_size * (1 + negative_rate)`` — static by
+construction.
+
+A C++ fast path (csrc/sampler.cc, loaded via ctypes) accelerates the
+neighborhood sampler on large graphs; the numpy implementation is the
+always-available fallback and the parity oracle.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mr_gnas_tpu.graph.build import build_rel_graph, round_up
+from mr_gnas_tpu.graph.container import RelGraph
+
+
+def get_adj_and_degrees(num_nodes: int, triplets: np.ndarray):
+    """Adjacency list of (edge_id, other_vertex) per node + degrees."""
+    adj_list = [[] for _ in range(num_nodes)]
+    for i, (s, _, o) in enumerate(triplets):
+        adj_list[s].append([i, o])
+        adj_list[o].append([i, s])
+    degrees = np.array([len(a) for a in adj_list])
+    adj_list = [np.array(a, dtype=np.int64).reshape(-1, 2) for a in adj_list]
+    return adj_list, degrees
+
+
+def sample_edge_uniform(n_triplets: int, sample_size: int, rng: np.random.Generator):
+    """Uniform sample without replacement (utils_rgcn.py:74-77)."""
+    return rng.choice(np.arange(n_triplets), sample_size, replace=False)
+
+
+def sample_edge_neighborhood(
+    adj_list, degrees, n_triplets: int, sample_size: int, rng: np.random.Generator
+):
+    """Connected-subgraph growth sampler (utils_rgcn.py:30-72)."""
+    edges = np.zeros(sample_size, dtype=np.int64)
+    sample_counts = np.array(degrees, dtype=np.int64)
+    picked = np.zeros(n_triplets, dtype=bool)
+    seen = np.zeros(len(degrees), dtype=bool)
+
+    for i in range(sample_size):
+        weights = sample_counts * seen
+        if np.sum(weights) == 0:
+            weights = np.ones_like(weights)
+            weights[np.where(sample_counts == 0)] = 0
+        probabilities = weights / np.sum(weights)
+        chosen_vertex = rng.choice(np.arange(len(degrees)), p=probabilities)
+        chosen_adj_list = adj_list[chosen_vertex]
+        seen[chosen_vertex] = True
+        chosen_edge = chosen_adj_list[rng.integers(chosen_adj_list.shape[0])]
+        while picked[chosen_edge[0]]:
+            chosen_edge = chosen_adj_list[rng.integers(chosen_adj_list.shape[0])]
+        edges[i] = chosen_edge[0]
+        picked[chosen_edge[0]] = True
+        sample_counts[chosen_vertex] -= 1
+        sample_counts[chosen_edge[1]] -= 1
+        seen[chosen_edge[1]] = True
+    return edges
+
+
+def negative_sampling(
+    pos_samples: np.ndarray, num_entity: int, negative_rate: int, rng: np.random.Generator
+):
+    """Tile positives x rate, corrupt head or tail u.a.r.
+    (utils_rgcn.py:191-204)."""
+    size_of_batch = len(pos_samples)
+    num_to_generate = size_of_batch * negative_rate
+    neg_samples = np.tile(pos_samples, (negative_rate, 1))
+    labels = np.zeros(size_of_batch * (negative_rate + 1), dtype=np.float32)
+    labels[:size_of_batch] = 1
+    values = rng.integers(num_entity, size=num_to_generate)
+    choices = rng.uniform(size=num_to_generate)
+    subj = choices > 0.5
+    obj = choices <= 0.5
+    neg_samples[subj, 0] = values[subj]
+    neg_samples[obj, 2] = values[obj]
+    return np.concatenate((pos_samples, neg_samples)), labels
+
+
+@dataclasses.dataclass
+class SampledBatch:
+    """One LP search step's device inputs."""
+
+    graph: RelGraph
+    triplets: np.ndarray  # [T, 3] local (s, r, o), T = sample_size*(1+neg)
+    labels: np.ndarray  # [T] 1/0
+
+
+def generate_sampled_graph_and_labels(
+    triplets: np.ndarray,
+    sample_size: int,
+    split_size: float,
+    num_rels: int,
+    adj_list,
+    degrees,
+    negative_rate: int,
+    sampler: str = "uniform",
+    rng: np.random.Generator | None = None,
+    n_nodes_pad: int | None = None,
+) -> SampledBatch:
+    """Sample edges, relabel compactly, negative-sample, split graph-vs-
+    supervision halves, and build the padded training RelGraph
+    (utils_rgcn.py:79-118)."""
+    rng = rng or np.random.default_rng()
+    if sampler == "uniform":
+        edges = sample_edge_uniform(len(triplets), sample_size, rng)
+    elif sampler == "neighbor":
+        edges = sample_edge_neighborhood(
+            adj_list, degrees, len(triplets), sample_size, rng
+        )
+    else:
+        raise ValueError("sampler must be 'uniform' or 'neighbor'")
+
+    chosen = triplets[edges]
+    src, rel, dst = chosen.T
+    uniq_v, inv = np.unique((src, dst), return_inverse=True)
+    src, dst = np.reshape(inv, (2, -1))
+    relabeled = np.stack((src, rel, dst)).T
+
+    samples, labels = negative_sampling(relabeled, len(uniq_v), negative_rate, rng)
+
+    n_graph = int(sample_size * split_size)
+    graph_ids = rng.choice(np.arange(sample_size), size=n_graph, replace=False)
+    g_src, g_rel, g_dst = src[graph_ids], rel[graph_ids], dst[graph_ids]
+
+    if n_nodes_pad is None:
+        n_nodes_pad = round_up(2 * sample_size, 64)
+    graph = build_rel_graph(
+        np.stack([g_src, g_rel, g_dst]).T,
+        num_nodes=len(uniq_v),
+        num_rels=num_rels,
+        n_fwd_pad=n_graph,
+        n_nodes_pad=n_nodes_pad,
+        global_ids=uniq_v,
+    )
+    return SampledBatch(graph=graph, triplets=samples.astype(np.int32), labels=labels)

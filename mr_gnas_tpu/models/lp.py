@@ -1,0 +1,245 @@
+"""Link-prediction networks: supernet and fixed-genotype retrain model.
+
+Re-designs models/model_search_lp.py:16-314 and models/model_lp.py:77-150
+as flax modules over the padded :class:`RelGraph` edge-row layout.
+
+Shared plumbing (both networks):
+  * entity embeddings ``embedding_h [num_ent, init_dim]`` projected by
+    ``linear_e`` to feature_dim (model_search_lp.py:41-44);
+  * relation basis decomposition ``rel_wt [2*num_rels+1, num_base_r] @
+    embedding_e [num_base_r, D]`` (model_search_lp.py:59,134);
+  * per-layer relation transform ``rel_embed @ w_rel`` with a single
+    shared ``w_rel`` (model_search_lp.py:61,150,158);
+  * the [fwd | inv | self] row re-gather between layers
+    (model_search_lp.py:153: ``cat(ent_emb[src_in], ent_emb)`` == our
+    ``ent_emb[graph.src]``).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_gnas_tpu.cells.compiled import CompiledCell
+from mr_gnas_tpu.cells.genotype import CellSpec, Genotype
+from mr_gnas_tpu.cells.supernet import SupernetCell
+from mr_gnas_tpu.cells.genotype import layer_weights
+from mr_gnas_tpu.graph.container import RelGraph
+from mr_gnas_tpu.layers import MaskedBatchNorm, xavier_relu_param
+from mr_gnas_tpu.ops.message_ops import dense
+from mr_gnas_tpu.ops.registry import OpArgs, SF_OPS, make_score_fn
+
+normal_init = nn.initializers.normal(stddev=1.0)  # torch nn.Embedding default
+
+
+class _LPEmbeddings(nn.Module):
+    """Entity table + relation basis (model_search_lp.py:41-62)."""
+
+    num_ent: int
+    num_rels: int
+    init_fea_dim: int
+    feature_dim: int
+    num_base_r: int
+
+    @nn.compact
+    def __call__(self):
+        emb_h = self.param(
+            "embedding_h", normal_init, (self.num_ent, self.init_fea_dim)
+        )
+        emb_e = self.param(
+            "embedding_e", normal_init, (self.num_base_r, self.feature_dim)
+        )
+        rel_wt = xavier_relu_param(
+            self, "rel_wt", (2 * self.num_rels + 1, self.num_base_r)
+        )
+        all_ent = dense(self.feature_dim, name="linear_e")(emb_h)
+        rel_embed = jnp.dot(rel_wt, emb_e, preferred_element_type=jnp.float32)
+        return all_ent, rel_embed
+
+
+class LPSupernet(nn.Module):
+    """The LP weight-sharing supernet (model_search_lp.py:16-163).
+
+    ``__call__(graph, alphas, training)`` returns
+    ``(ent_emb [n_nodes, D], rel_embed [2*num_rels+1, D])``; alphas is the
+    dict produced by :func:`mr_gnas_tpu.cells.init_alphas`.
+    """
+
+    num_ent: int
+    num_rels: int
+    layers: int
+    spec: CellSpec
+    feature_dim: int
+    init_fea_dim: int
+    num_base_r: int
+    dropout_cell: float = 0.3
+    drop_aggr: float = 0.1
+
+    @nn.compact
+    def __call__(self, graph: RelGraph, alphas: dict, training: bool = False):
+        all_ent, rel_embed = _LPEmbeddings(
+            self.num_ent,
+            self.num_rels,
+            self.init_fea_dim,
+            self.feature_dim,
+            self.num_base_r,
+            name="emb",
+        )()
+        w_rel = xavier_relu_param(self, "w_rel", (self.feature_dim, self.feature_dim))
+        bn = MaskedBatchNorm(name="bn_h")  # single shared BN (model_search_lp.py:74)
+        drop = nn.Dropout(self.dropout_cell, deterministic=not training)
+
+        ent_emb = None
+        for i in range(self.layers):
+            w = layer_weights(alphas, self.spec, i)
+            if i == 0:
+                ent_in = jnp.take(
+                    all_ent, jnp.take(graph.global_ids, graph.src, axis=0), axis=0
+                )
+            else:
+                ent_in = jnp.take(ent_emb, graph.src, axis=0)
+            hr = jnp.take(rel_embed, graph.etype, axis=0)
+            cell = SupernetCell(
+                spec=self.spec,
+                feature_dim=self.feature_dim,
+                drop_aggr=self.drop_aggr,
+                name=f"cell_{i}",
+            )
+            ent_emb = cell(graph, ent_in, hr, w, training)
+            ent_emb = bn(ent_emb, graph.node_mask, training)
+            # ReLU skip rule of model_search_lp.py:146-148: layer 0 of a
+            # multi-layer stack gets no ReLU; single-layer stacks do.
+            if i > 0 or self.layers == 1:
+                ent_emb = jax.nn.relu(ent_emb)
+            ent_emb = drop(ent_emb)
+            rel_embed = jnp.dot(rel_embed, w_rel, preferred_element_type=jnp.float32)
+        return ent_emb, rel_embed
+
+
+class LPNetwork(nn.Module):
+    """Fixed-genotype LP retrain network (model_lp.py:77-141).
+
+    ``__call__(graph, subj, rel, training)`` -> [B, num_ent] probabilities
+    via the genotype's 1-vs-N decoder.
+    """
+
+    genotypes: tuple[Genotype, ...]
+    num_ent: int
+    num_rels: int
+    feature_dim: int
+    init_fea_dim: int
+    num_base_r: int
+    dropout_cell: float = 0.3
+    drop_aggr: float = 0.1
+    drop_op: float = 0.0
+    score_args: dict | None = None
+
+    def setup(self):
+        self.emb = _LPEmbeddings(
+            self.num_ent,
+            self.num_rels,
+            self.init_fea_dim,
+            self.feature_dim,
+            self.num_base_r,
+            name="emb",
+        )
+        self.w_rel = xavier_relu_param(
+            self, "w_rel", (self.feature_dim, self.feature_dim)
+        )
+        self.cells = [
+            CompiledCell(
+                task="lp",
+                genotype=geno,
+                feature_dim=self.feature_dim,
+                drop_aggr=self.drop_aggr,
+                name=f"cell_{i}",
+            )
+            for i, geno in enumerate(self.genotypes)
+        ]
+        self.drops = [
+            nn.Dropout(self.dropout_cell, name=f"drop_{i}")
+            for i in range(len(self.genotypes))
+        ]
+        name = self.genotypes[-1].score_func or "sf_DisMult"
+        args = OpArgs(self.score_args or {})
+        args.setdefault("embed_dim", self.feature_dim)
+        self.score_fn = make_score_fn(name, args)
+
+    def encode(self, graph: RelGraph, training: bool = False):
+        """Run the cell stack over the full graph -> (ent_emb, rel_embed)."""
+        ent_emb, rel_embed = self.emb()
+        for i, cell in enumerate(self.cells):
+            ent_in = jnp.take(
+                ent_emb,
+                jnp.take(graph.global_ids, graph.src, axis=0) if i == 0 else graph.src,
+                axis=0,
+            )
+            hr = jnp.take(rel_embed, graph.etype, axis=0)
+            ent_emb = cell(graph, ent_in, hr, training)
+            ent_emb = self.drops[i](ent_emb, deterministic=not training)
+            rel_embed = jnp.dot(
+                rel_embed, self.w_rel, preferred_element_type=jnp.float32
+            )
+        return ent_emb, rel_embed
+
+    def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
+        ent_emb, rel_embed = self.encode(graph, training)
+        sub_emb = jnp.take(ent_emb, subj, axis=0)
+        rel_emb = jnp.take(rel_embed, rel, axis=0)
+        return self.score_fn(ent_emb, sub_emb, rel_emb, training)
+
+
+class MixedScoreFn(nn.Module):
+    """Softmax-weighted mixture over score functions (models/cell_lp.py:36-50).
+
+    Allocated-but-unused in the reference's search loss
+    (model_search_lp.py:160-161); provided here as a first-class module so
+    the score stage *can* be searched.
+    """
+
+    gamma: float = 40.0
+
+    @nn.compact
+    def __call__(self, all_ent, sub_emb, rel_emb, weights, training: bool = False):
+        out = None
+        for i, name in enumerate(SF_OPS):
+            y = make_score_fn(name, OpArgs(gamma=self.gamma))(
+                all_ent, sub_emb, rel_emb, training
+            )
+            y = weights[i] * y
+            out = y if out is None else out + y
+        return out
+
+
+# --------------------------------------------------------------------------
+# losses / scores (pure functions)
+# --------------------------------------------------------------------------
+
+
+def distmult_triplet_score(ent_emb, rel_embed, triplets):
+    """sum(s * r * o) per triplet — the hard-coded search-time score
+    (model_search_lp.py:169-176)."""
+    s = jnp.take(ent_emb, triplets[:, 0], axis=0)
+    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
+    o = jnp.take(ent_emb, triplets[:, 2], axis=0)
+    return jnp.sum(s * r * o, axis=1)
+
+
+def lp_search_loss(ent_emb, rel_embed, triplets, labels):
+    """BCE-with-logits over pos+neg sampled triplets
+    (model_search_lp.py:181-194)."""
+    logits = distmult_triplet_score(ent_emb, rel_embed, triplets)
+    return jnp.mean(optax_sigmoid_bce(logits, labels))
+
+
+def optax_sigmoid_bce(logits, labels):
+    """Numerically stable binary cross entropy with logits."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def bce_probs_loss(probs, labels, eps: float = 1e-7):
+    """torch.nn.BCELoss over probabilities (train/mr_lp_train.py:116,235)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    return -jnp.mean(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))

@@ -1,0 +1,169 @@
+"""Node-classification networks: supernet and fixed-genotype retrain model.
+
+Re-designs models/model_search.py:52-292 and models/model.py:107-199.
+The reference's per-block forward gathers per-edge global src ids and
+relation types from DGL blocks (model_search.py:143-156) and remaps next
+block's src ids to previous dst positions with an O(N*E) python loop
+(model_search.py:167-171); here the host-side block builder
+(:mod:`mr_gnas_tpu.data.blocks`) precomputes ``src_pos`` index arrays so
+the device program is pure gathers.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_gnas_tpu.cells.compiled import CompiledCell
+from mr_gnas_tpu.cells.genotype import CellSpec, Genotype, layer_weights
+from mr_gnas_tpu.cells.supernet import SupernetCell
+from mr_gnas_tpu.graph.container import Block, as_edge_graph
+from mr_gnas_tpu.layers import MLPClassifier, MaskedBatchNorm, xavier_relu_param
+from mr_gnas_tpu.ops.message_ops import dense
+
+normal_init = nn.initializers.normal(stddev=1.0)
+
+
+class _NCEmbeddings(nn.Module):
+    """Node/relation embeddings with basis decomposition + projections
+    (model_search.py:75-82)."""
+
+    num_nodes: int
+    num_rels: int
+    init_fea_dim: int
+    feature_dim: int
+    num_base_r: int
+
+    @nn.compact
+    def __call__(self, src_gid: jax.Array, etype: jax.Array):
+        emb_h = self.param("embedding_h", normal_init, (self.num_nodes, self.init_fea_dim))
+        emb_e = self.param("embedding_e", normal_init, (self.num_base_r, self.init_fea_dim))
+        rel_wt = xavier_relu_param(self, "rel_wt", (self.num_rels, self.num_base_r))
+        # per-edge src embedding: h_init(embedding_h[src]) (model_search.py:160)
+        src_embed = dense(self.feature_dim, use_bias=False, name="h_init")(
+            jnp.take(emb_h, src_gid, axis=0)
+        )
+        # per-edge rel embedding: e_init(rel_wt[etype] @ embedding_e)
+        # (model_search.py:164)
+        rel_rows = jnp.dot(
+            jnp.take(rel_wt, etype, axis=0), emb_e, preferred_element_type=jnp.float32
+        )
+        edges_embed = dense(self.feature_dim, use_bias=False, name="e_init")(rel_rows)
+        return src_embed, edges_embed
+
+
+class NCSupernet(nn.Module):
+    """NC weight-sharing supernet (model_search.py:52-187).
+
+    ``__call__(blocks, alphas, training)`` -> logits [n_seeds, num_classes].
+    ``blocks`` is the outermost-first list of padded MFG layers.
+    """
+
+    num_nodes: int
+    num_classes: int
+    num_rels: int
+    layers: int
+    spec: CellSpec
+    feature_dim: int
+    init_fea_dim: int
+    num_base_r: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, blocks: Sequence[Block], alphas: dict, training: bool = False):
+        assert len(blocks) == self.layers
+        emb = _NCEmbeddings(
+            self.num_nodes,
+            self.num_rels,
+            self.init_fea_dim,
+            self.feature_dim,
+            self.num_base_r,
+            name="emb",
+        )
+        node_embed = None
+        src_embed = None
+        for i, block in enumerate(blocks):
+            g = as_edge_graph(block)
+            layer_src, edges_embed = emb(block.src_gid, block.etype)
+            if i == 0:
+                src_embed = layer_src
+            w = layer_weights(alphas, self.spec, i)
+            cell = SupernetCell(
+                spec=self.spec,
+                feature_dim=self.feature_dim,
+                dropout=0.0,
+                name=f"cell_{i}",
+            )
+            node_embed = cell(g, src_embed, edges_embed, w, training)
+            if i + 1 < len(blocks):
+                # next layer's per-edge src rows, gathered by position
+                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0)
+
+        h = MaskedBatchNorm(name="bn_h")(
+            node_embed, blocks[-1].dst_mask, training
+        )
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        return MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+
+
+class NCNetwork(nn.Module):
+    """Fixed-genotype NC retrain network (model.py:107-189)."""
+
+    genotypes: tuple[Genotype, ...]
+    num_nodes: int
+    num_classes: int
+    num_rels: int
+    feature_dim: int
+    init_fea_dim: int
+    num_base_r: int
+    dropout: float = 0.0
+    op_norm: bool = True
+
+    @nn.compact
+    def __call__(self, blocks: Sequence[Block], training: bool = False):
+        emb = _NCEmbeddings(
+            self.num_nodes,
+            self.num_rels,
+            self.init_fea_dim,
+            self.feature_dim,
+            self.num_base_r,
+            name="emb",
+        )
+        node_embed = None
+        src_embed = None
+        for i, (block, geno) in enumerate(zip(blocks, self.genotypes)):
+            g = as_edge_graph(block)
+            layer_src, edges_embed = emb(block.src_gid, block.etype)
+            if i == 0:
+                src_embed = layer_src
+            cell = CompiledCell(
+                task="nc",
+                genotype=geno,
+                feature_dim=self.feature_dim,
+                op_norm=self.op_norm,
+                name=f"cell_{i}",
+            )
+            node_embed = cell(g, src_embed, edges_embed, training)
+            if i + 1 < len(blocks):
+                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0)
+
+        h = MaskedBatchNorm(name="bn_h")(node_embed, blocks[-1].dst_mask, training)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        return MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+
+
+def nc_loss(logits, labels, mask):
+    """Masked softmax cross entropy over seed nodes."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return -jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def nc_accuracy(logits, labels, mask):
+    pred = jnp.argmax(logits, axis=-1)
+    correct = (pred == labels).astype(jnp.float32) * mask
+    return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1.0)

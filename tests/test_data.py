@@ -1,0 +1,137 @@
+"""Data pipeline: samplers, negative sampling, 1-vs-N labels, blocks."""
+import numpy as np
+
+from mr_gnas_tpu.data import (
+    CSRGraph,
+    build_blocks,
+    generate_sampled_graph_and_labels,
+    get_adj_and_degrees,
+    iterate_batches,
+    multi_hot,
+    negative_sampling,
+    process,
+    synthetic_kg,
+    synthetic_nc,
+)
+
+
+def test_negative_sampling_counts(rng):
+    pos = np.array([[0, 0, 1], [1, 1, 2], [2, 0, 3]])
+    samples, labels = negative_sampling(pos, num_entity=4, negative_rate=5, rng=rng)
+    assert samples.shape == (3 * 6, 3)
+    assert labels[:3].sum() == 3 and labels[3:].sum() == 0
+    # negatives corrupt exactly one of head/tail, keep relation
+    for i, neg in enumerate(samples[3:]):
+        orig = pos[i % 3]
+        assert neg[1] == orig[1]
+        assert (neg[0] == orig[0]) or (neg[2] == orig[2])
+
+
+def test_generate_sampled_graph_static_shapes(rng):
+    kg = synthetic_kg(num_ent=100, num_rels=5, n_train=400)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    batches = [
+        generate_sampled_graph_and_labels(
+            kg.train, 60, 0.5, kg.num_rels, adj, deg, 4, "uniform", rng,
+            n_nodes_pad=128,
+        )
+        for _ in range(3)
+    ]
+    shapes = {(b.graph.n_fwd, b.graph.n_nodes, b.triplets.shape, b.labels.shape) for b in batches}
+    assert len(shapes) == 1  # static across samples
+    b = batches[0]
+    assert b.graph.n_fwd == 30  # split_size * sample_size
+    assert b.triplets.shape == (60 * 5, 3)
+    # triplet entity ids are valid local node ids
+    n_real = int(np.asarray(b.graph.node_mask).sum())
+    assert b.triplets[:, [0, 2]].max() < n_real
+    # global ids round-trip to original entities
+    gids = np.asarray(b.graph.global_ids)[:n_real]
+    assert np.all(gids < kg.num_ent)
+
+
+def test_neighbor_sampler_connected(rng):
+    kg = synthetic_kg(num_ent=50, num_rels=4, n_train=200)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    b = generate_sampled_graph_and_labels(
+        kg.train, 40, 0.5, kg.num_rels, adj, deg, 2, "neighbor", rng
+    )
+    assert b.graph.n_fwd == 20
+
+
+def test_process_labels():
+    data = {
+        "train": np.array([[0, 0, 1], [0, 0, 2], [1, 1, 0]]),
+        "valid": np.array([[0, 0, 3]]),
+        "test": np.array([[2, 1, 0]]),
+    }
+    t = process(data, num_rels=2)
+    # train: distinct (s,r) pairs incl. inverse queries
+    keys = {tuple(x[:2]) for x in t["train"].triples}
+    assert (0, 0) in keys and (1, 2) in keys and (2, 2) in keys
+    # the (0,0) train query has labels {1,2} (train only)
+    i = [j for j, x in enumerate(t["train"].triples) if tuple(x[:2]) == (0, 0)][0]
+    assert set(t["train"].labels[i]) == {1, 2}
+    # valid_tail label for (0,0,3) includes all-splits objects {1,2,3}
+    assert set(t["valid_tail"].labels[0]) == {1, 2, 3}
+    # head query uses rel + num_rels
+    assert t["valid_head"].triples[0][1] == 2
+
+
+def test_multi_hot_smoothing():
+    # (1-eps)*y + 1/num_ent (data_set.py:22): 0 -> 0.25, 1 -> 1.15
+    y = multi_hot([np.array([1, 3])], num_ent=4, smooth=0.1)
+    np.testing.assert_allclose(y[0], [0.25, 1.15, 0.25, 1.15], rtol=1e-6)
+
+
+def test_iterate_batches_padding():
+    data = {
+        "train": np.array([[0, 0, 1], [1, 0, 2], [2, 1, 0]]),
+        "valid": np.zeros((0, 3), dtype=np.int64),
+        "test": np.zeros((0, 3), dtype=np.int64),
+    }
+    t = process(data, num_rels=2)
+    batches = list(iterate_batches(t["train"], num_ent=3, batch_size=4))
+    assert len(batches) == 2
+    tr, lab, mask = batches[-1]
+    assert tr.shape == (4, 3) and lab.shape == (4, 3)
+    assert mask.sum() < 4
+
+
+def test_build_blocks_two_layers():
+    ds = synthetic_nc(num_nodes=60, num_rels=4, n_target=10, seed=1)
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    seeds = ds.target_ids[:4]
+    blocks, seed_pos = build_blocks(csr, seeds, layers=2)
+    assert len(blocks) == 2
+    b0, b1 = blocks
+    # final block's dst prefix is the seeds
+    assert np.all(np.asarray(b1.dst_gid[: len(seeds)]) == seeds)
+    assert np.all(seed_pos == np.arange(len(seeds)))
+    # every edge in b1 has src present in b0's dst set at position src_pos
+    m1 = np.asarray(b1.edge_mask) > 0
+    src_pos = np.asarray(b1.src_pos)[m1]
+    src_gid = np.asarray(b1.src_gid)[m1]
+    assert np.all(np.asarray(b0.dst_gid)[src_pos] == src_gid)
+    # edges really exist in the graph with right etype
+    edges = {
+        (int(s), int(d), int(t))
+        for s, d, t in zip(ds.src, ds.dst, ds.etype)
+    }
+    m0 = np.asarray(b0.edge_mask) > 0
+    for s, dp, t in zip(
+        np.asarray(b0.src_gid)[m0],
+        np.asarray(b0.dst_pos)[m0],
+        np.asarray(b0.etype)[m0],
+    ):
+        d = int(np.asarray(b0.dst_gid)[dp])
+        assert (int(s), d, int(t)) in edges
+
+
+def test_build_blocks_duplicate_seeds():
+    ds = synthetic_nc(num_nodes=40, num_rels=3, n_target=6, seed=2)
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    seeds = np.array([ds.target_ids[0], ds.target_ids[1], ds.target_ids[0]])
+    blocks, seed_pos = build_blocks(csr, seeds, layers=1)
+    assert seed_pos[0] == seed_pos[2]
+    assert np.asarray(blocks[-1].dst_gid)[seed_pos[1]] == seeds[1]

@@ -1,0 +1,233 @@
+"""End-to-end forward/backward through LP and NC networks (tiny configs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_gnas_tpu.cells import CellSpec, init_alphas, parse_reference_genotypes
+from mr_gnas_tpu.data import (
+    CSRGraph,
+    build_blocks,
+    get_adj_and_degrees,
+    generate_sampled_graph_and_labels,
+    synthetic_kg,
+    synthetic_nc,
+)
+from mr_gnas_tpu.graph import build_rel_graph
+from mr_gnas_tpu.models import (
+    LPNetwork,
+    LPSupernet,
+    NCNetwork,
+    NCSupernet,
+    bce_probs_loss,
+    lp_search_loss,
+    nc_loss,
+)
+
+D = 16
+REF_GENO = (
+    "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
+    "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_max', 5, 3), "
+    "('f_sparse_last', 6, 5), ('f_sparse_last', 7, 5)], "
+    "concat_node=[4, 5, 6, 7], score_func='sf_DisMult')]"
+)
+
+
+def test_lp_supernet_forward_and_alpha_grads(rng):
+    kg = synthetic_kg(num_ent=60, num_rels=4, n_train=200)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    batch = generate_sampled_graph_and_labels(
+        kg.train, 40, 0.5, kg.num_rels, adj, deg, 3, "uniform", rng, n_nodes_pad=96
+    )
+    spec = CellSpec(task="lp")
+    model = LPSupernet(
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        layers=2,
+        spec=spec,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=5,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+    )
+    alphas = init_alphas(jax.random.key(0), spec, layers=2, with_final=True)
+    variables = model.init(jax.random.key(1), batch.graph, alphas, False)
+    ent, rel = model.apply(variables, batch.graph, alphas, False)
+    assert ent.shape == (batch.graph.n_nodes, D)
+    assert rel.shape == (2 * kg.num_rels + 1, D)
+    assert np.all(np.isfinite(np.asarray(ent)))
+
+    trip = jnp.asarray(batch.triplets)
+    lab = jnp.asarray(batch.labels)
+
+    def loss_fn(params, alphas):
+        (e, r), mut = model.apply(
+            {**variables, "params": params},
+            batch.graph,
+            alphas,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(2)},
+        )
+        return lp_search_loss(e, r, trip, lab)
+
+    gw, ga = jax.grad(loss_fn, argnums=(0, 1))(variables["params"], alphas)
+    total_alpha_grad = sum(float(jnp.abs(v).sum()) for v in ga.values())
+    assert total_alpha_grad > 0
+    emb_grad = gw["emb"]["embedding_h"]
+    assert float(jnp.abs(emb_grad).sum()) > 0
+
+
+def test_lp_network_retrain_forward(rng):
+    kg = synthetic_kg(num_ent=50, num_rels=3, n_train=150)
+    g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    genos = parse_reference_genotypes(REF_GENO)
+    model = LPNetwork(
+        genotypes=tuple(genos),
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=4,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+        score_args={"embed_dim": D},
+    )
+    subj = jnp.asarray([0, 1, 2, 3])
+    rel = jnp.asarray([0, 1, 3, 4])  # incl. inverse rels
+    variables = model.init(jax.random.key(0), g, subj, rel, False)
+    probs = model.apply(variables, g, subj, rel, False)
+    assert probs.shape == (4, g.n_nodes)
+    assert np.all((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1))
+
+    labels = jnp.zeros((4, g.n_nodes)).at[:, 1].set(1.0)
+
+    def loss_fn(params):
+        p, _ = model.apply(
+            {**variables, "params": params},
+            g, subj, rel, True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
+        )
+        return bce_probs_loss(p, labels)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert float(jnp.abs(grads["emb"]["embedding_h"]).sum()) > 0
+
+
+def test_lp_network_conve_head(rng):
+    kg = synthetic_kg(num_ent=30, num_rels=3, n_train=100)
+    g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    genos = parse_reference_genotypes(REF_GENO)
+    genos = [
+        type(genos[0])(
+            alpha_cell=genos[0].alpha_cell,
+            concat_node=genos[0].concat_node,
+            score_func="sf_ConvE",
+        )
+    ]
+    model = LPNetwork(
+        genotypes=tuple(genos),
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=4,
+        score_args={"embed_dim": D, "num_filt": 4, "ker_sz": 3, "k_w": 4, "k_h": 4},
+    )
+    subj = jnp.asarray([0, 1])
+    rel = jnp.asarray([0, 1])
+    variables = model.init(jax.random.key(0), g, subj, rel, False)
+    probs = model.apply(variables, g, subj, rel, False)
+    assert probs.shape == (2, g.n_nodes)
+
+
+def _nc_setup(rng, layers=2):
+    ds = synthetic_nc(num_nodes=80, num_rels=4, num_classes=3, n_target=12)
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    seeds = ds.target_ids[:5]
+    blocks, seed_pos = build_blocks(csr, seeds, layers=layers)
+    return ds, blocks, seed_pos, seeds
+
+
+def test_nc_supernet_forward(rng):
+    ds, blocks, seed_pos, seeds = _nc_setup(rng)
+    spec = CellSpec(task="nc")
+    model = NCSupernet(
+        num_nodes=ds.num_nodes,
+        num_classes=ds.num_classes,
+        num_rels=ds.num_rels,
+        layers=2,
+        spec=spec,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=4,
+    )
+    alphas = init_alphas(jax.random.key(0), spec, layers=2)
+    variables = model.init(jax.random.key(1), blocks, alphas, False)
+    logits = model.apply(variables, blocks, alphas, False)
+    assert logits.shape == (blocks[-1].n_dst, ds.num_classes)
+
+    labels = jnp.asarray(ds.labels[:5])
+    mask = jnp.ones(5)
+
+    def loss_fn(params, alphas):
+        out, _ = model.apply(
+            {**variables, "params": params}, blocks, alphas, True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.key(2)},
+        )
+        return nc_loss(out[jnp.asarray(seed_pos)], labels, mask)
+
+    gw, ga = jax.grad(loss_fn, argnums=(0, 1))(variables["params"], alphas)
+    assert sum(float(jnp.abs(v).sum()) for v in ga.values()) > 0
+
+
+def test_nc_network_retrain_learns_synthetic(rng):
+    """A compiled NC net should fit the synthetic majority-relation task."""
+    import optax
+
+    ds = synthetic_nc(num_nodes=80, num_rels=4, num_classes=3, n_target=30, seed=3)
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    seeds = ds.target_ids  # full batch
+    blocks, seed_pos = build_blocks(csr, seeds, layers=1)
+    geno = parse_reference_genotypes(
+        "[Genotype(alpha_cell=[('pre_mult', 1, 0), ('f_dense', 2, 1), "
+        "('f_identity', 3, 2), ('a_max', 4, 2), ('a_sum', 5, 3), "
+        "('f_identity', 6, 5), ('f_dense_last', 7, 5)], "
+        "concat_node=[4, 5, 6, 7], score_func=None)]"
+    )
+    model = NCNetwork(
+        genotypes=tuple(geno),
+        num_nodes=ds.num_nodes,
+        num_classes=ds.num_classes,
+        num_rels=ds.num_rels,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=4,
+    )
+    variables = model.init(jax.random.key(0), blocks, False)
+    params, bstats = variables["params"], variables["batch_stats"]
+    labels = jnp.asarray(ds.labels)
+    mask = jnp.ones(len(seeds))
+    sp = jnp.asarray(seed_pos)
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, bstats, opt_state):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bstats}, blocks, True,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.key(1)},
+            )
+            return nc_loss(out[sp], labels, mask), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    loss0 = None
+    for i in range(60):
+        params, bstats, opt_state, loss = step(params, bstats, opt_state)
+        if i == 0:
+            loss0 = float(loss)
+    assert float(loss) < loss0 * 0.5, (loss0, float(loss))
