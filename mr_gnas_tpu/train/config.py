@@ -1,0 +1,147 @@
+"""Typed configuration for the four drivers.
+
+One dataclass hierarchy replaces the reference's four divergent argparse
+blocks (search/mr_lp_search.py:282-343, search/mr_nc_search.py:228-260,
+train/mr_lp_train.py:362-401, train/mr_nc_train.py:213-245). Defaults
+mirror the reference's FB15k-237 / AIFB defaults; genotypes are JSON (the
+reference's Python-literal strings are also accepted — parsed safely, no
+``eval()``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class BaseConfig:
+    dataset: str = "synthetic"
+    data_root: str = "data"
+    seed: int = 0
+    epochs: int = 100
+    save_dir: str = "EXP"
+    log_every: int = 10
+    feature_dim: int = 128
+    init_fea_dim: int = 128
+    num_base_r: int = 23
+    learning_rate: float = 1e-3
+    learning_rate_min: float = 1e-5
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    grad_norm: float = 5.0
+    checkpoint: str = ""
+    save_model_freq: int = 300
+    # distribution
+    mesh_shape: tuple[int, ...] | None = None  # e.g. (8,) data-parallel
+    mesh_axes: tuple[str, ...] = ("data",)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), default=str, indent=2)
+
+
+@dataclasses.dataclass
+class SearchMixin:
+    layers: int = 2
+    zero_nodes: int = 1
+    first_nodes: int = 2
+    last_nodes: int = 2
+    arch_learning_rate: float = 3e-4
+    arch_weight_decay: float = 1e-3
+    unrolled: bool = False
+    hvp_mode: str = "fd"  # 'fd' (reference) | 'exact'
+    warm_epochs: int = 10
+    max_patience: int = 500
+    save_freq: int = 5
+
+
+@dataclasses.dataclass
+class LPSearchConfig(BaseConfig, SearchMixin):
+    """search/mr_lp_search.py defaults (:284-343)."""
+
+    epochs: int = 8000
+    feature_dim: int = 200
+    init_fea_dim: int = 100
+    num_base_r: int = 475
+    graph_batch_size: int = 300
+    graph_batch_size_val: int = 100
+    graph_split_size: float = 0.5
+    negative_sample: int = 10
+    edge_sampler: str = "uniform"
+    gamma: float = 40.0
+    dropout_cell: float = 0.3
+    drop_aggr: float = 0.1
+    eval_batch_size: int = 1000
+    eval_protocol: str = "filtered"
+    n_nodes_pad: int = 0  # 0 -> auto (2 * graph_batch_size, rounded)
+
+
+@dataclasses.dataclass
+class LPTrainConfig(BaseConfig):
+    """train/mr_lp_train.py defaults (:362-401)."""
+
+    epochs: int = 120
+    batch_size: int = 256
+    num_base_r: int = 23
+    genotype: str = ""  # JSON or reference-format string; required
+    optimizer: str = "adam"
+    lbl_smooth: float = 0.1
+    dropout_cell: float = 0.3
+    drop_op: float = 0.0
+    drop_aggr: float = 0.1
+    gamma: float = 40.0
+    # ConvE head (train/mr_lp_train.py:383-390)
+    conve_hid_drop: float = 0.3
+    feat_drop: float = 0.3
+    k_w: int = 8
+    k_h: int = 16
+    num_filt: int = 128
+    ker_sz: int = 8
+    embed_dim: int = 128
+
+    def score_args(self) -> dict[str, Any]:
+        return {
+            "gamma": self.gamma,
+            "embed_dim": self.embed_dim,
+            "conve_hid_drop": self.conve_hid_drop,
+            "feat_drop": self.feat_drop,
+            "num_filt": self.num_filt,
+            "ker_sz": self.ker_sz,
+            "k_w": self.k_w,
+            "k_h": self.k_h,
+        }
+
+
+@dataclasses.dataclass
+class NCSearchConfig(BaseConfig, SearchMixin):
+    """search/mr_nc_search.py defaults."""
+
+    epochs: int = 200
+    batch_size: int = 50
+    feature_dim: int = 32
+    init_fea_dim: int = 32
+    num_base_r: int = 10
+    learning_rate: float = 1e-2
+    warm_epochs: int = 5
+    max_patience: int = 30
+    dropout: float = 0.0
+
+
+@dataclasses.dataclass
+class NCTrainConfig(BaseConfig):
+    """train/mr_nc_train.py defaults."""
+
+    epochs: int = 200
+    batch_size: int = 50
+    layers: int = 2
+    feature_dim: int = 32
+    init_fea_dim: int = 32
+    num_base_r: int = 10
+    learning_rate: float = 1e-2
+    optimizer: str = "sgd"
+    genotype: str = ""
+    op_norm: bool = True
+    dropout: float = 0.0

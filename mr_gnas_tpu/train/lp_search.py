@@ -1,0 +1,230 @@
+"""LP bi-level supernet search driver (search/mr_lp_search.py analog).
+
+One optimization step per "epoch", as in the reference (:187-255): sample
+a train and a val subgraph, run the architect's alpha update on the val
+batch, then the weight update (SGD momentum + cosine LR + grad clip) on
+the train batch. Genotype-stability patience provides early stop
+(:169-181). Unlike the reference, alphas are checkpointed, and both the
+first-order and (working) second-order architect are available.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mr_gnas_tpu.cells import CellSpec, decode_genotypes, genotypes_to_json, init_alphas
+from mr_gnas_tpu.data import (
+    generate_sampled_graph_and_labels,
+    get_adj_and_degrees,
+    load_dataset,
+)
+from mr_gnas_tpu.graph.build import round_up
+from mr_gnas_tpu.models import LPSupernet, lp_search_loss
+from mr_gnas_tpu.nas import first_order_step, make_arch_optimizer, sgd_momentum_buffer, unrolled_step
+from mr_gnas_tpu.train.checkpoint import save_checkpoint
+from mr_gnas_tpu.train.config import LPSearchConfig
+from mr_gnas_tpu.train.metrics import (
+    ScalarLogger,
+    Throughput,
+    count_parameters,
+    setup_logging,
+    setup_run_dir,
+)
+
+
+def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
+    run_dir = setup_run_dir(cfg.save_dir, f"lp-search-{cfg.dataset}")
+    log = setup_logging(run_dir)
+    scalars = ScalarLogger(run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    kg = load_dataset(cfg.dataset, cfg.data_root)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    adj_v, deg_v = get_adj_and_degrees(kg.num_ent, kg.valid)
+    n_nodes_pad = cfg.n_nodes_pad or round_up(
+        min(2 * cfg.graph_batch_size, kg.num_ent), 64
+    )
+    n_nodes_pad_val = cfg.n_nodes_pad or round_up(
+        min(2 * cfg.graph_batch_size_val, kg.num_ent), 64
+    )
+
+    def sample(data, bs, adj, deg, pad):
+        return generate_sampled_graph_and_labels(
+            data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
+            cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
+        )
+
+    spec = CellSpec(
+        task="lp",
+        zero_nodes=cfg.zero_nodes,
+        first_nodes=cfg.first_nodes,
+        last_nodes=cfg.last_nodes,
+    )
+    model = LPSupernet(
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        layers=cfg.layers,
+        spec=spec,
+        feature_dim=cfg.feature_dim,
+        init_fea_dim=cfg.init_fea_dim,
+        num_base_r=cfg.num_base_r,
+        dropout_cell=cfg.dropout_cell,
+        drop_aggr=cfg.drop_aggr,
+    )
+    alphas = init_alphas(key, spec, cfg.layers, with_final=True)
+    batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
+    variables = model.init(jax.random.key(cfg.seed + 1), batch0.graph, alphas, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
+
+    lr_schedule = optax.cosine_decay_schedule(
+        cfg.learning_rate, cfg.epochs, alpha=cfg.learning_rate_min / cfg.learning_rate
+    )
+    w_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_norm),
+        optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+        optax.sgd(lr_schedule, momentum=cfg.momentum),
+    )
+    w_opt = w_tx.init(params)
+    a_tx = make_arch_optimizer(cfg.arch_learning_rate, cfg.arch_weight_decay)
+    a_opt = a_tx.init(alphas)
+
+    def loss_fn(params, bstats, alphas, graph, trip, lab, dkey, training=True):
+        out = model.apply(
+            {"params": params, "batch_stats": bstats},
+            graph, alphas, training,
+            mutable=["batch_stats"] if training else [],
+            rngs={"dropout": dkey},
+        )
+        if training:
+            (e, r), mut = out
+            return lp_search_loss(e, r, trip, lab), mut["batch_stats"]
+        e, r = out
+        return lp_search_loss(e, r, trip, lab), bstats
+
+    @jax.jit
+    def arch_step_first(params, bstats, alphas, a_opt, graph, trip, lab, dkey):
+        def vloss(p, a):
+            l, _ = loss_fn(p, bstats, a, graph, trip, lab, dkey)
+            return l
+
+        return first_order_step(a_tx, a_opt, alphas, params, vloss)
+
+    @jax.jit
+    def arch_step_unrolled(
+        params, bstats, alphas, a_opt, g_t, t_t, l_t, g_v, t_v, l_v, dkey, eta, mom_buf
+    ):
+        def tloss(p, a):
+            l, _ = loss_fn(p, bstats, a, g_t, t_t, l_t, dkey)
+            return l
+
+        def vloss(p, a):
+            l, _ = loss_fn(p, bstats, a, g_v, t_v, l_v, dkey)
+            return l
+
+        return unrolled_step(
+            a_tx, a_opt, alphas, params, tloss, vloss, eta,
+            network_momentum=cfg.momentum,
+            network_weight_decay=cfg.weight_decay,
+            momentum_buf=mom_buf,
+            mode=cfg.hvp_mode,
+        )
+
+    @jax.jit
+    def weight_step(params, bstats, w_opt, alphas, graph, trip, lab, dkey):
+        def wloss(p):
+            return loss_fn(p, bstats, alphas, graph, trip, lab, dkey)
+
+        (loss, new_bs), grads = jax.value_and_grad(wloss, has_aux=True)(params)
+        updates, w_opt = w_tx.update(grads, w_opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, w_opt, loss
+
+    best_geno = genotypes_to_json(decode_genotypes(jax.device_get(alphas), spec, cfg.layers))
+    patience = 0
+    thr = Throughput()
+    n_steps = max_steps or cfg.epochs
+    arch_loss = jnp.zeros(())
+    for epoch in range(n_steps):
+        batch = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
+        batch_val = sample(kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val)
+        key, k1, k2 = jax.random.split(key, 3)
+        trip = jnp.asarray(batch.triplets)
+        lab = jnp.asarray(batch.labels)
+        trip_v = jnp.asarray(batch_val.triplets)
+        lab_v = jnp.asarray(batch_val.labels)
+
+        if epoch >= cfg.warm_epochs:
+            if cfg.unrolled:
+                alphas, a_opt, arch_loss = arch_step_unrolled(
+                    params, bstats, alphas, a_opt,
+                    batch.graph, trip, lab,
+                    batch_val.graph, trip_v, lab_v,
+                    k1, lr_schedule(epoch), sgd_momentum_buffer(w_opt),
+                )
+            else:
+                alphas, a_opt, arch_loss = arch_step_first(
+                    params, bstats, alphas, a_opt, batch_val.graph, trip_v, lab_v, k1
+                )
+
+        params, bstats, w_opt, loss = weight_step(
+            params, bstats, w_opt, alphas, batch.graph, trip, lab, k2
+        )
+        thr.step(batch.graph.n_edge_rows)
+
+        if epoch % cfg.log_every == 0:
+            log.info(
+                "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s",
+                epoch, float(loss), float(arch_loss), thr.edges_per_sec,
+            )
+            scalars.log(
+                epoch,
+                train_loss=float(loss),
+                arch_loss=float(arch_loss),
+                edges_per_sec=thr.edges_per_sec,
+            )
+
+        if epoch >= cfg.warm_epochs:
+            genotypes = genotypes_to_json(
+                decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+            )
+            if genotypes == best_geno:
+                patience += 1
+            else:
+                patience = 0
+                best_geno = genotypes
+            if patience >= cfg.max_patience:
+                log.info("Reached max patience; best genotype %s", best_geno)
+                break
+
+        if epoch % cfg.save_model_freq == 0 and epoch > 0:
+            save_checkpoint(
+                os.path.join(run_dir, "search_state.msgpack"),
+                {"params": params, "batch_stats": bstats, "alphas": alphas},
+                {"epoch": epoch, "genotypes": best_geno},
+            )
+
+    genotypes = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+    save_checkpoint(
+        os.path.join(run_dir, "search_state.msgpack"),
+        {"params": params, "batch_stats": bstats, "alphas": alphas},
+        {"epoch": n_steps, "genotypes": genotypes_to_json(genotypes)},
+    )
+    with open(os.path.join(run_dir, "genotypes.json"), "w") as f:
+        f.write(genotypes_to_json(genotypes))
+    log.info("Done. Genotypes: %s", [g.to_reference_str() for g in genotypes])
+    scalars.close()
+    return {
+        "genotypes": genotypes,
+        "run_dir": run_dir,
+        "edges_per_sec": thr.edges_per_sec,
+        "last_loss": float(loss),
+    }

@@ -1,0 +1,216 @@
+"""LP fixed-genotype retrain driver (train/mr_lp_train.py analog).
+
+Full-train-graph GNN forward + 1-vs-N decoder per minibatch of (s, r)
+queries, BCE against label-smoothed multi-hot targets
+(train/mr_lp_train.py:225-240), filtered ranking eval each epoch with
+best-MRR checkpointing (:193-201) and resume (:126-130).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mr_gnas_tpu.cells import Genotype, genotypes_from_json, parse_reference_genotypes
+from mr_gnas_tpu.data import load_dataset, process
+from mr_gnas_tpu.data.labels import iterate_batches
+from mr_gnas_tpu.graph import build_rel_graph
+from mr_gnas_tpu.models import LPNetwork, bce_probs_loss
+from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from mr_gnas_tpu.train.config import LPTrainConfig
+from mr_gnas_tpu.train.eval import (
+    accumulate_rank_results,
+    combine_results,
+    filtered_ranks,
+)
+from mr_gnas_tpu.train.metrics import (
+    ScalarLogger,
+    Throughput,
+    count_parameters,
+    setup_logging,
+    setup_run_dir,
+)
+
+
+def parse_genotypes(s: str) -> list[Genotype]:
+    """Accept JSON (ours) or the reference's Python-literal format."""
+    s = s.strip()
+    if not s:
+        raise ValueError("--genotype is required")
+    if s.startswith("[{") or s.startswith("{"):
+        return genotypes_from_json(s if s.startswith("[") else f"[{s}]")
+    return parse_reference_genotypes(s)
+
+
+def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
+    run_dir = setup_run_dir(cfg.save_dir, f"lp-train-{cfg.dataset}")
+    log = setup_logging(run_dir)
+    scalars = ScalarLogger(run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    rng = np.random.default_rng(cfg.seed)
+
+    kg = load_dataset(cfg.dataset, cfg.data_root)
+    triplets = process(
+        {"train": kg.train, "valid": kg.valid, "test": kg.test}, kg.num_rels
+    )
+    # full train graph — exact static size, no padding needed
+    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    genotypes = parse_genotypes(cfg.genotype)
+    log.info("genotypes: %s", [g.to_reference_str() for g in genotypes])
+
+    model = LPNetwork(
+        genotypes=tuple(genotypes),
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        feature_dim=cfg.feature_dim,
+        init_fea_dim=cfg.init_fea_dim,
+        num_base_r=cfg.num_base_r,
+        dropout_cell=cfg.dropout_cell,
+        drop_aggr=cfg.drop_aggr,
+        score_args=cfg.score_args(),
+    )
+    subj0 = jnp.zeros((cfg.batch_size,), jnp.int32)
+    variables = model.init(jax.random.key(cfg.seed), graph, subj0, subj0, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
+
+    epochs = max_epochs or cfg.epochs
+    lr_schedule = optax.cosine_decay_schedule(
+        cfg.learning_rate, epochs, alpha=cfg.learning_rate_min / cfg.learning_rate
+    )
+    if cfg.optimizer.lower() == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+            optax.sgd(lr_schedule, momentum=cfg.momentum),
+        )
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+            optax.adam(lr_schedule),
+        )
+    opt_state = tx.init(params)
+
+    start_epoch = 0
+    if cfg.checkpoint:
+        state, meta = load_checkpoint(
+            cfg.checkpoint, {"params": params, "batch_stats": bstats}
+        )
+        params, bstats = state["params"], state["batch_stats"]
+        start_epoch = (meta or {}).get("epoch", 0)
+        log.info("loaded checkpoint from epoch %s", start_epoch)
+
+    col_mask = graph.node_mask  # all-ones here (exact-size graph)
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, graph, subj, rel, labels, row_mask, dkey):
+        def loss_fn(p):
+            probs, mut = model.apply(
+                {"params": p, "batch_stats": bstats},
+                graph, subj, rel, True,
+                mutable=["batch_stats"], rngs={"dropout": dkey},
+            )
+            # row-masked BCE (padded final batch rows contribute 0)
+            l = bce_probs_loss(probs * row_mask[:, None], labels * row_mask[:, None])
+            return l, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, bstats, graph, subj, rel, obj, labels):
+        probs = model.apply(
+            {"params": params, "batch_stats": bstats}, graph, subj, rel, False
+        )
+        loss = bce_probs_loss(probs, labels)
+        ranks = filtered_ranks(probs, labels, obj, col_mask)
+        return ranks, loss
+
+    def predict(qs):
+        results, losses = {}, []
+        for trip, labels, mask in iterate_batches(
+            qs, kg.num_ent, cfg.batch_size, smooth=0.0
+        ):
+            ranks, loss = eval_step(
+                params, bstats, graph,
+                jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
+                jnp.asarray(trip[:, 2]), jnp.asarray(labels),
+            )
+            n_real = int(mask.sum())
+            results = accumulate_rank_results(np.asarray(ranks)[:n_real], results)
+            losses.append(float(loss))
+        return results, float(np.sum(losses))
+
+    def infer(tag, epoch):
+        left, l_loss = predict(triplets[f"{tag}_tail"])
+        right, r_loss = predict(triplets[f"{tag}_head"])
+        res = combine_results(left, right)
+        loss = 0.5 * (l_loss + r_loss)
+        log.info(
+            "%s_Epoch %04d | Loss %.4f | MR %.3f | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",
+            tag, epoch, loss, res["mr"], res["mrr"],
+            res["hits@1"], res["hits@3"], res["hits@10"],
+        )
+        return res, loss
+
+    key = jax.random.key(cfg.seed + 7)
+    best = {"mrr": 0.0, "epoch": -1, "hits@10": 0.0, "hits@1": 0.0}
+    thr = Throughput()
+    n_edges = int(np.asarray(graph.row_mask).sum())
+    final_test = {}
+    for epoch in range(start_epoch, epochs):
+        train_loss = 0.0
+        for step, (trip, labels, mask) in enumerate(
+            iterate_batches(
+                triplets["train"], kg.num_ent, cfg.batch_size,
+                smooth=cfg.lbl_smooth, shuffle=True, rng=rng,
+            )
+        ):
+            key, dkey = jax.random.split(key)
+            params, bstats, opt_state, loss = train_step(
+                params, bstats, opt_state, graph,
+                jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
+                jnp.asarray(labels), jnp.asarray(mask), dkey,
+            )
+            train_loss += float(loss)
+            thr.step(n_edges)
+        scalars.log(epoch, train_loss=train_loss, edges_per_sec=thr.edges_per_sec)
+        log.info("Train_Epoch %04d | Loss %.4f | %.0f edges/s", epoch, train_loss, thr.edges_per_sec)
+
+        val_res, val_loss = infer("valid", epoch)
+        test_res, test_loss = infer("test", epoch)
+        final_test = test_res
+        scalars.log(
+            epoch, val_mrr=val_res["mrr"], test_mrr=test_res["mrr"],
+            test_hits1=test_res["hits@1"], test_hits10=test_res["hits@10"],
+        )
+        if test_res["hits@1"] > best["hits@1"]:
+            best["hits@1"] = test_res["hits@1"]
+        if test_res["hits@10"] > best["hits@10"]:
+            best["hits@10"] = test_res["hits@10"]
+        if test_res["mrr"] > best["mrr"]:
+            best.update(mrr=test_res["mrr"], epoch=epoch)
+            save_checkpoint(
+                os.path.join(run_dir, "model_best_mrr.msgpack"),
+                {"params": params, "batch_stats": bstats},
+                {"epoch": epoch, "mrr": best["mrr"]},
+            )
+        if epoch % cfg.save_model_freq == 0 and epoch > 1:
+            save_checkpoint(
+                os.path.join(run_dir, f"model_{epoch}.msgpack"),
+                {"params": params, "batch_stats": bstats},
+                {"epoch": epoch},
+            )
+
+    log.info("Best_epoch_mrr %04d | mrr %.4f", best["epoch"], best["mrr"])
+    scalars.close()
+    return {
+        "best": best,
+        "test": final_test,
+        "run_dir": run_dir,
+        "edges_per_sec": thr.edges_per_sec,
+    }

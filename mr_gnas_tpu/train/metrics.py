@@ -1,0 +1,104 @@
+"""Metrics, logging, and throughput instrumentation.
+
+Replaces the reference's stdlib-logging + tensorboardX setup
+(search/mr_lp_search.py:345-351) with run-directory logging plus a JSONL
+scalar stream (one line per step/epoch — greppable and plottable without
+TensorBoard), and adds the north-star counter the reference lacks:
+edges/sec/chip.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+
+class AverageMeter:
+    """Running average (utils/utils.py:144-159)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+class ScalarLogger:
+    """Append-only JSONL scalar stream + stdlib logging."""
+
+    def __init__(self, run_dir: str, filename: str = "scalars.jsonl"):
+        os.makedirs(run_dir, exist_ok=True)
+        self.run_dir = run_dir
+        self.path = os.path.join(run_dir, filename)
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, **scalars):
+        rec = {"step": step, "time": time.time(), **scalars}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def setup_run_dir(save_dir: str, tag: str) -> str:
+    run_dir = os.path.join(save_dir, f"{tag}-{time.strftime('%Y%m%d-%H%M%S')}")
+    os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def setup_logging(run_dir: str, filename: str = "run.log") -> logging.Logger:
+    logger = logging.getLogger("mr_gnas_tpu")
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s %(message)s", datefmt="%m/%d %H:%M:%S")
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        fh = logging.FileHandler(os.path.join(run_dir, filename))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class Throughput:
+    """edges/sec (the north-star metric) with warmup skipping."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self.steps = 0
+        self.edges = 0
+        self.t0 = None
+
+    def step(self, n_edges: int):
+        self.steps += 1
+        if self.steps == self.warmup:
+            self.t0 = time.perf_counter()
+            self.edges = 0
+        elif self.steps > self.warmup:
+            self.edges += n_edges
+
+    @property
+    def edges_per_sec(self) -> float:
+        if self.t0 is None or self.steps <= self.warmup:
+            return 0.0
+        dt = time.perf_counter() - self.t0
+        return self.edges / max(dt, 1e-9)
+
+
+def count_parameters(params) -> int:
+    import jax
+
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,152 @@
+"""NC fixed-genotype retrain driver (train/mr_nc_train.py analog).
+
+Trains an :class:`NCNetwork` on seed minibatches with full-neighbor
+blocks; reports train/test accuracy (micro == the reference's
+"micro/macro", train/mr_nc_train.py:163-168 computes the same quantity
+twice — we also report a true macro average) and tracks the best test
+accuracy.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mr_gnas_tpu.data import CSRGraph, build_blocks, iterate_seed_batches, load_nc_dataset
+from mr_gnas_tpu.models import NCNetwork, nc_loss
+from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from mr_gnas_tpu.train.config import NCTrainConfig
+from mr_gnas_tpu.train.lp_train import parse_genotypes
+from mr_gnas_tpu.train.metrics import (
+    ScalarLogger,
+    Throughput,
+    count_parameters,
+    setup_logging,
+    setup_run_dir,
+)
+
+
+def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
+    run_dir = setup_run_dir(cfg.save_dir, f"nc-train-{cfg.dataset}")
+    log = setup_logging(run_dir)
+    scalars = ScalarLogger(run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed)
+
+    ds = load_nc_dataset(cfg.dataset, cfg.data_root)
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    genotypes = parse_genotypes(cfg.genotype)
+    if len(genotypes) == 1 and cfg.layers > 1:
+        genotypes = genotypes * cfg.layers
+    log.info("genotypes: %s", [g.to_reference_str() for g in genotypes])
+
+    model = NCNetwork(
+        genotypes=tuple(genotypes),
+        num_nodes=ds.num_nodes,
+        num_classes=ds.num_classes,
+        num_rels=ds.num_rels,
+        feature_dim=cfg.feature_dim,
+        init_fea_dim=cfg.init_fea_dim,
+        num_base_r=cfg.num_base_r,
+        dropout=cfg.dropout,
+        op_norm=cfg.op_norm,
+    )
+    layers = len(genotypes)
+    seeds0 = ds.target_ids[ds.train_idx[: cfg.batch_size]]
+    blocks0, _ = build_blocks(csr, seeds0, layers)
+    variables = model.init(key, blocks0, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
+
+    if cfg.optimizer.lower() == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+            optax.sgd(cfg.learning_rate, momentum=cfg.momentum),
+        )
+    else:
+        tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+
+    if cfg.checkpoint:
+        state, _ = load_checkpoint(cfg.checkpoint, {"params": params, "batch_stats": bstats})
+        params, bstats = state["params"], state["batch_stats"]
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, blocks, seed_pos, labels, mask, dkey):
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": bstats}, blocks, True,
+                mutable=["batch_stats"], rngs={"dropout": dkey},
+            )
+            return nc_loss(logits[seed_pos], labels, mask), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    @jax.jit
+    def eval_logits(params, bstats, blocks):
+        return model.apply({"params": params, "batch_stats": bstats}, blocks, False)
+
+    def evaluate(idx):
+        """(micro accuracy, macro accuracy over classes)."""
+        correct = np.zeros(ds.num_classes)
+        count = np.zeros(ds.num_classes)
+        for idx_b, mask in iterate_seed_batches(idx, cfg.batch_size, shuffle=False):
+            seeds = ds.target_ids[idx_b]
+            blocks, sp = build_blocks(csr, seeds, layers)
+            logits = np.asarray(eval_logits(params, bstats, blocks))
+            pred = logits[sp].argmax(-1)
+            labels = ds.labels[idx_b]
+            for p, y, m in zip(pred, labels, mask):
+                if m > 0:
+                    count[y] += 1
+                    correct[y] += int(p == y)
+        micro = correct.sum() / max(count.sum(), 1)
+        present = count > 0
+        macro = (correct[present] / count[present]).mean() if present.any() else 0.0
+        return float(micro), float(macro)
+
+    best = {"test_acc": 0.0, "epoch": -1}
+    thr = Throughput()
+    epochs = max_epochs or cfg.epochs
+    for epoch in range(epochs):
+        losses = []
+        for idx_b, mask in iterate_seed_batches(ds.train_idx, cfg.batch_size, True, rng):
+            seeds = ds.target_ids[idx_b]
+            blocks, sp = build_blocks(csr, seeds, layers)
+            key, dkey = jax.random.split(key)
+            params, bstats, opt_state, loss = train_step(
+                params, bstats, opt_state, blocks, jnp.asarray(sp),
+                jnp.asarray(ds.labels[idx_b]), jnp.asarray(mask), dkey,
+            )
+            losses.append(float(loss))
+            thr.step(sum(b.n_edges for b in blocks))
+
+        if epoch % cfg.log_every == 0 or epoch == epochs - 1:
+            micro, macro = evaluate(ds.test_idx)
+            tr_micro, _ = evaluate(ds.train_idx)
+            log.info(
+                "Epoch %04d | Loss %.4f | train %.4f | test micro %.4f macro %.4f | %.0f edges/s",
+                epoch, float(np.mean(losses)), tr_micro, micro, macro, thr.edges_per_sec,
+            )
+            scalars.log(
+                epoch, train_loss=float(np.mean(losses)), train_acc=tr_micro,
+                test_acc=micro, test_macro=macro, edges_per_sec=thr.edges_per_sec,
+            )
+            if micro > best["test_acc"]:
+                best.update(test_acc=micro, epoch=epoch)
+                save_checkpoint(
+                    os.path.join(run_dir, "model_best.msgpack"),
+                    {"params": params, "batch_stats": bstats},
+                    {"epoch": epoch, "test_acc": micro},
+                )
+
+    log.info("Best test acc %.4f @ epoch %d", best["test_acc"], best["epoch"])
+    scalars.close()
+    return {"best": best, "run_dir": run_dir, "edges_per_sec": thr.edges_per_sec}
