@@ -1,0 +1,145 @@
+"""Headline benchmark: LP supernet fwd+bwd throughput (edges/sec/chip).
+
+The north-star metric (BASELINE.md): edge rows processed per second
+through the full mixed-op supernet training step (forward + backward +
+SGD update) at FB15k-237 search scale (d=200, 475 relation bases,
+2 layers, 237 relations), on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against ``bench_baseline.json`` (the first
+recorded TPU measurement of this framework — the reference publishes no
+numbers, BASELINE.md, so the baseline is self-measured and later rounds
+must beat it).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def run_bench(
+    num_ent: int = 14541,
+    num_rels: int = 237,
+    feature_dim: int = 200,
+    init_fea_dim: int = 100,
+    num_base_r: int = 475,
+    layers: int = 2,
+    graph_batch: int = 4096,
+    negative_rate: int = 10,
+    steps: int = 20,
+    warmup: int = 3,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mr_gnas_tpu.cells import CellSpec, init_alphas
+    from mr_gnas_tpu.data import (
+        generate_sampled_graph_and_labels,
+        get_adj_and_degrees,
+        synthetic_kg,
+    )
+    from mr_gnas_tpu.graph.build import round_up
+    from mr_gnas_tpu.models import LPSupernet, lp_search_loss
+
+    rng = np.random.default_rng(0)
+    kg = synthetic_kg(
+        num_ent=num_ent, num_rels=num_rels, n_train=4 * graph_batch, seed=0
+    )
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    n_nodes_pad = round_up(min(2 * graph_batch, kg.num_ent), 128)
+    batch = generate_sampled_graph_and_labels(
+        kg.train, graph_batch, 0.5, kg.num_rels, adj, deg, negative_rate,
+        "uniform", rng, n_nodes_pad=n_nodes_pad,
+    )
+
+    spec = CellSpec(task="lp")
+    model = LPSupernet(
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        layers=layers,
+        spec=spec,
+        feature_dim=feature_dim,
+        init_fea_dim=init_fea_dim,
+        num_base_r=num_base_r,
+        dropout_cell=0.3,
+        drop_aggr=0.1,
+    )
+    alphas = init_alphas(jax.random.key(0), spec, layers, with_final=True)
+    variables = model.init(jax.random.key(1), batch.graph, alphas, False)
+    params, bstats = variables["params"], variables["batch_stats"]
+    tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    trip = jnp.asarray(batch.triplets)
+    lab = jnp.asarray(batch.labels)
+
+    @jax.jit
+    def train_step(params, bstats, opt_state, graph, trip, lab, key):
+        def loss_fn(p):
+            (ent, rel), mut = model.apply(
+                {"params": p, "batch_stats": bstats}, graph, alphas, True,
+                mutable=["batch_stats"], rngs={"dropout": key},
+            )
+            return lp_search_loss(ent, rel, trip, lab), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    key = jax.random.key(2)
+    # edge rows actually processed per step (real fwd+inv rows)
+    n_edges = int(np.asarray(batch.graph.edge_mask).sum())
+
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        params, bstats, opt_state, loss = train_step(
+            params, bstats, opt_state, batch.graph, trip, lab, k
+        )
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, bstats, opt_state, loss = train_step(
+            params, bstats, opt_state, batch.graph, trip, lab, k
+        )
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    edges_per_sec = n_edges * steps / dt
+    return {
+        "edges_per_sec": edges_per_sec,
+        "step_ms": 1e3 * dt / steps,
+        "n_edges_per_step": n_edges,
+        "loss": float(loss),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    out = run_bench()
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("edges_per_sec"):
+            vs = out["edges_per_sec"] / base["edges_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "lp_supernet_fwd_bwd_throughput",
+                "value": round(out["edges_per_sec"], 1),
+                "unit": "edges/sec/chip",
+                "vs_baseline": round(vs, 4),
+                "detail": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

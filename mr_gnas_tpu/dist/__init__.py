@@ -1,0 +1,21 @@
+from mr_gnas_tpu.dist.mesh import (
+    make_mesh,
+    replicate,
+    shard_entity_table,
+    shard_graph,
+)
+from mr_gnas_tpu.dist.partition import (
+    edge_partitioned_segment_reduce,
+    make_sharded_train_step,
+    sharded_scores_rank,
+)
+
+__all__ = [
+    "edge_partitioned_segment_reduce",
+    "make_mesh",
+    "make_sharded_train_step",
+    "replicate",
+    "shard_entity_table",
+    "shard_graph",
+    "sharded_scores_rank",
+]

@@ -1,0 +1,141 @@
+"""Edge-partitioned aggregation and sharded training steps.
+
+Two complementary paths:
+
+1. **Annotation path (default)** — commit inputs with
+   :func:`mr_gnas_tpu.dist.mesh.shard_graph` / ``replicate`` and jit the
+   ordinary train step; XLA's SPMD partitioner turns the per-shard
+   segment reductions into local reduce + cross-shard merge collectives.
+   This is the pjit recipe: pick a mesh, annotate shardings, let XLA
+   insert collectives.
+
+2. **Explicit shard_map path** — the manual formulation of the same
+   computation (each device segment-reduces its edge shard into a full
+   [N, D] partial, then ``psum``/``pmax`` over the data axis). Used to
+   validate the annotation path numerically and as the substrate for
+   future Pallas remote-DMA overlap.
+
+Correctness notes (SURVEY.md §7 hard-part 5): sum/mean/max are all
+associative over edge shards; mean is computed as (psum of sums) /
+(psum of counts); max as pmax of local maxes with empty-segment masking
+deferred until after the merge.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mr_gnas_tpu.kernels.segment import _NEG_LARGE
+
+
+def edge_partitioned_segment_reduce(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: jax.Array,
+    mesh: Mesh,
+    op: str = "sum",
+    data_axis: str = "data",
+):
+    """shard_map segment reduce: local partials + psum/pmax merge.
+
+    ``data``/``segment_ids``/``mask`` are sharded over ``data_axis``;
+    the [num_segments, D] result is replicated.
+    """
+
+    def local(data, seg, mask):
+        if op == "sum":
+            part = jax.ops.segment_sum(
+                data * mask[:, None], seg, num_segments=num_segments + 1
+            )[:num_segments]
+            return jax.lax.psum(part, data_axis)
+        if op == "mean":
+            s = jax.ops.segment_sum(
+                data * mask[:, None], seg, num_segments=num_segments + 1
+            )[:num_segments]
+            c = jax.ops.segment_sum(mask, seg, num_segments=num_segments + 1)[
+                :num_segments
+            ]
+            s = jax.lax.psum(s, data_axis)
+            c = jax.lax.psum(c, data_axis)
+            return jnp.where(c[:, None] > 0, s / jnp.maximum(c[:, None], 1.0), 0.0)
+        if op == "max":
+            masked = jnp.where(mask[:, None] > 0, data, _NEG_LARGE)
+            part = jax.ops.segment_max(masked, seg, num_segments=num_segments + 1)[
+                :num_segments
+            ]
+            part = jax.lax.pmax(part, data_axis)
+            c = jax.lax.psum(
+                jax.ops.segment_sum(mask, seg, num_segments=num_segments + 1)[
+                    :num_segments
+                ],
+                data_axis,
+            )
+            return jnp.where(c[:, None] > 0, part, 0.0)
+        raise ValueError(op)
+
+    spec_rows = P(data_axis)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_rows, spec_rows, spec_rows),
+        out_specs=P(),
+    )(data, segment_ids, mask)
+
+
+def make_sharded_train_step(model, w_tx, mesh: Mesh, loss_fn):
+    """jit a supernet weight step whose inputs carry mesh shardings.
+
+    ``loss_fn(model, params, bstats, alphas, graph, trip, lab, key)`` must
+    return ``(loss, new_batch_stats)``. Input shardings are taken from the
+    committed arguments (annotation path); the result layouts follow.
+    """
+
+    @jax.jit
+    def step(params, bstats, opt_state, alphas, graph, trip, lab, key):
+        def wrapped(p):
+            return loss_fn(model, p, bstats, alphas, graph, trip, lab, key)
+
+        (loss, new_bs), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
+        import optax
+
+        updates, new_opt = w_tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    return step
+
+
+def sharded_scores_rank(
+    scores: jax.Array,
+    labels: jax.Array,
+    obj: jax.Array,
+    col_mask: jax.Array,
+    mesh: Mesh,
+    model_axis: str = "model",
+):
+    """Filtered rank with entity columns sharded over the model axis.
+
+    Rank-by-count is a per-shard count + psum — no global argsort, no
+    gather of the full score row (SURVEY.md §7 hard-part 4).
+    """
+
+    def local(scores, labels, col_mask, obj, target):
+        clamped = jnp.where(labels > 0.5, -1e7, scores)
+        clamped = jnp.where(col_mask[None, :] > 0, clamped, -1e30)
+        cnt = jnp.sum(clamped > target[:, None], axis=1)
+        return jax.lax.psum(cnt, model_axis)
+
+    # target score: gather before sharding (obj column lives on one shard)
+    b = scores.shape[0]
+    target = scores[jnp.arange(b), obj]
+    cols = P(None, model_axis)
+    ranks = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(cols, cols, P(model_axis), P(), P()),
+        out_specs=P(),
+    )(scores, labels, col_mask, obj, target)
+    return (1 + ranks).astype(jnp.float32)
