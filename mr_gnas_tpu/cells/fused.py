@@ -1,0 +1,372 @@
+"""Fused supernet cell: the mixed-op search space as batched einsums.
+
+The naive :class:`~mr_gnas_tpu.cells.supernet.SupernetCell` evaluates
+~44 op pipelines per cell as separate small flax modules (mirroring the
+reference's structure, models/cell_lp.py:12-33). That is slow to trace
+(hundreds of nested modules) and bandwidth-bound at runtime (dozens of
+small kernels re-reading the same [R, D] rows).
+
+This module computes the *same function* (parity-tested in
+tests/test_fused.py via ``convert_naive_params``) with stage-level
+fusion:
+
+  * each DAG level's candidate-op gate transforms run as ONE batched
+    einsum per row section, with the per-op weight matrices stacked
+    column-wise ([pairs, 2D, 3D]: dense | sparse | comp blocks);
+  * all (pair, op) batch-norms of a stage share stacked parameters and
+    are applied as a single vectorized masked BN over a
+    [pairs, ops, R, D] stack (statistics per (pair, op) slice — same
+    semantics as one nn.BatchNorm1d per op);
+  * the alpha-weighted op mixture + the DAG-node summation collapse into
+    one einsum contraction.
+
+Only the LP task is fused here (the flagship search workload); NC uses
+the naive cell.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mr_gnas_tpu.cells.genotype import CellSpec
+from mr_gnas_tpu.graph.container import RelGraph
+from mr_gnas_tpu.kernels import segment_max, segment_mean, segment_sum
+from mr_gnas_tpu.ops.message_ops import dense
+
+
+def blocked_xavier(n_blocks: int):
+    """Glorot-normal applied per column block, so each stacked [in, out]
+    sub-matrix matches the naive per-op Dense init scale."""
+
+    def init(key, shape, dtype=jnp.float32):
+        *lead, fan_in, total_out = shape
+        out = total_out // n_blocks
+        std = (2.0 / (fan_in + out)) ** 0.5
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class FusedSupernetCellLP(nn.Module):
+    """Fused LP supernet cell — same function as SupernetCell(task='lp').
+
+    Stage math (faithful to models/operations_lp.py):
+      zero   : {pre_mult, pre_sub, pre_add} composition stack
+      first  : {f_zero, f_identity, f_dense_comp, f_sparse_comp, f_comp}
+               direction-typed over [fwd | inv | self] sections with the
+               1/3 + edge-norm scaling (f_comp's self section unscaled,
+               operations_lp.py:287)
+      middle : {a_max, a_sum, a_mean} segment aggregators + self residual
+      last   : {f_zero, f_identity, f_dense_last, f_sparse_last}
+      concat : Linear over (first + last) node states (cell_lp.py:186)
+    """
+
+    spec: CellSpec
+    feature_dim: int
+    drop_aggr: float = 0.1
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    # ---- stage-wide BN with sliced application --------------------------
+
+    def _bn_decl(self, name: str, lead: tuple[int, ...]):
+        d = self.feature_dim
+        shape = (*lead, d)
+        scale = self.param(f"{name}_scale", nn.initializers.ones_init(), shape)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros_init(), shape)
+        rm = self.variable("batch_stats", f"{name}_mean", lambda: jnp.zeros(shape, jnp.float32))
+        rv = self.variable("batch_stats", f"{name}_var", lambda: jnp.ones(shape, jnp.float32))
+        return (scale, bias, rm, rv)
+
+    def _bn_apply(self, bn, sl, x, mask, training: bool):
+        """x: [p, K, R, D]; sl: slice into the stage's pair dim."""
+        scale, bias, rm, rv = bn
+        if training:
+            m = mask[:, None]
+            cnt = jnp.maximum(jnp.sum(mask), 1.0)
+            mean = jnp.sum(x * m, axis=-2) / cnt
+            var = jnp.sum(((x - mean[..., None, :]) ** 2) * m, axis=-2) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                rm.value = rm.value.at[sl].set(
+                    self.momentum * rm.value[sl] + (1 - self.momentum) * mean
+                )
+                rv.value = rv.value.at[sl].set(
+                    self.momentum * rv.value[sl] + (1 - self.momentum) * unbiased
+                )
+        else:
+            mean, var = rm.value[sl], rv.value[sl]
+        y = (x - mean[..., None, :]) * jax.lax.rsqrt(var[..., None, :] + self.epsilon)
+        return y * scale[sl][..., None, :] + bias[sl][..., None, :]
+
+    def _mix(self, bn, sl, stack, mask, w, training):
+        """BN + ReLU + alpha-mix over ops + sum over pairs -> [R, D]."""
+        y = jax.nn.relu(self._bn_apply(bn, sl, stack, mask, training))
+        return jnp.einsum("pkrd,pk->rd", y, w)
+
+    # ---- forward --------------------------------------------------------
+
+    @nn.compact
+    def __call__(self, graph: RelGraph, src_emb, hr, weights, training: bool):
+        spec, d = self.spec, self.feature_dim
+        assert spec.task == "lp"
+        p1, p2 = spec.n_first_edges, spec.n_last_edges
+        m_nodes = spec.first_nodes
+        nf, ne = graph.n_fwd, graph.n_edge_rows
+        row_mask, node_mask = graph.row_mask, graph.node_mask
+        edge_mask = graph.edge_mask
+        norm_e = graph.norm[:ne][None, :, None]
+        dst_e = graph.dst[:ne]
+
+        # ---------------- zero stage ----------------
+        z_stack = jnp.stack([src_emb * hr, src_emb - hr, src_emb + hr])[None]
+        bn_zero = self._bn_decl("bn_zero", (1, 3))
+        h_in = self._mix(
+            bn_zero, slice(0, 1), z_stack, row_mask, weights["zero"][:1], training
+        )
+
+        # ---------------- first stage ----------------
+        w_sec = {
+            s: self.param(f"first_w_{s}", blocked_xavier(3), (p1, 2 * d, 3 * d))
+            for s in ("in", "out", "self")
+        }
+        b_sec = {
+            s: self.param(f"first_b_{s}", nn.initializers.zeros_init(), (p1, 2, d))
+            for s in ("in", "out", "self")
+        }
+        a_sec = {
+            s: self.param(f"first_a_{s}", blocked_xavier(1), (p1, d, 1))
+            for s in ("in", "out", "self")
+        }
+        bn_first = self._bn_decl("bn_first", (p1, 5))
+
+        def gate_section(cat_s, h_s, w, b, a):
+            z = jnp.einsum("prc,pck->prk", cat_s, w, preferred_element_type=jnp.float32)
+            zd, zs, zc = jnp.split(z, 3, axis=-1)
+            zd = zd + b[:, 0][:, None, :]
+            zs = zs + b[:, 1][:, None, :]
+            out_d = jax.nn.sigmoid(zd) * h_s
+            gate = jax.nn.sigmoid(jnp.einsum("prd,pdo->pro", zs, a))
+            return out_d, gate * h_s, zc
+
+        states = [h_in]
+        done = 0
+        for _ in range(spec.first_nodes):
+            p_i = len(states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(states)  # [p_i, R, D]
+            cat = jnp.concatenate([pairs, jnp.broadcast_to(h_in, pairs.shape)], -1)
+            d_i, s_i, c_i = gate_section(
+                cat[:, :nf], pairs[:, :nf], w_sec["in"][sl], b_sec["in"][sl], a_sec["in"][sl]
+            )
+            d_o, s_o, c_o = gate_section(
+                cat[:, nf:ne], pairs[:, nf:ne], w_sec["out"][sl], b_sec["out"][sl], a_sec["out"][sl]
+            )
+            d_s, s_s, c_s = gate_section(
+                cat[:, ne:], pairs[:, ne:], w_sec["self"][sl], b_sec["self"][sl], a_sec["self"][sl]
+            )
+            f_dense = jnp.concatenate(
+                [jnp.concatenate([d_i / 3, d_o / 3], 1) * norm_e, d_s / 3], 1
+            )
+            f_sparse = jnp.concatenate(
+                [jnp.concatenate([s_i / 3, s_o / 3], 1) * norm_e, s_s / 3], 1
+            )
+            f_comp = jnp.concatenate(
+                [jnp.concatenate([c_i / 3, c_o / 3], 1) * norm_e, c_s], 1
+            )
+            stack = jnp.stack(
+                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse, f_comp], axis=1
+            )  # FIRST_OPS order
+            states.append(
+                self._mix(bn_first, sl, stack, row_mask, weights["first"][sl], training)
+            )
+            done += p_i
+        first_states = states[1:]
+
+        # ---------------- middle stage ----------------
+        w_mid = self.param("middle_w", blocked_xavier(1), (m_nodes, 2, d, d))
+        b_mid = self.param("middle_b", nn.initializers.zeros_init(), (m_nodes, 2, d))
+        bn_mid = self._bn_decl("bn_middle", (m_nodes, 3))
+        S = jnp.stack(first_states)  # [M, R, D]
+        SE, SSelf = S[:, :ne], S[:, ne:]
+        lin = jax.nn.relu(
+            jnp.einsum("med,mkdf->mkef", SE, w_mid, preferred_element_type=jnp.float32)
+            + b_mid[..., None, :]
+        )  # [M, 2(max,mean), E, D]
+        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
+        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
+        vmean = jax.vmap(lambda x: segment_mean(x, dst_e, graph.n_nodes, edge_mask))
+        agg_max = vmax(lin[:, 0]) + SSelf
+        sum_raw = vsum(SE)
+        sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(
+            sum_raw, deterministic=not training
+        )
+        agg_sum = sum_raw + SSelf
+        agg_mean = vmean(lin[:, 1]) + SSelf
+        mid_stack = jnp.stack([agg_max, agg_sum, agg_mean], axis=1)  # MIDDLE_OPS order
+        y = jax.nn.relu(
+            self._bn_apply(bn_mid, slice(0, m_nodes), mid_stack, node_mask, training)
+        )
+        node_states = list(jnp.einsum("mknd,mk->mnd", y, weights["middle"]))
+
+        # ---------------- last stage ----------------
+        w_last = self.param("last_w", blocked_xavier(1), (p2, 2, d, d))
+        b_last = self.param("last_b", nn.initializers.zeros_init(), (p2, 2, d))
+        a_last = self.param("last_a", blocked_xavier(1), (p2, d, 1))
+        bn_last = self._bn_decl("bn_last", (p2, 4))
+        done = 0
+        for _ in range(spec.last_nodes):
+            p_i = len(node_states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(node_states)  # [p_i, N, D]
+            z = jnp.einsum(
+                "pnd,pkdf->pknf", pairs, w_last[sl], preferred_element_type=jnp.float32
+            ) + b_last[sl][..., None, :]
+            zd, zs = z[:, 0], z[:, 1]
+            f_dense = jax.nn.sigmoid(zd) * pairs
+            gate = jax.nn.sigmoid(jnp.einsum("pnd,pdo->pno", zs, a_last[sl]))
+            f_sparse = gate * pairs
+            stack = jnp.stack(
+                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1
+            )  # LAST_OPS order
+            node_states.append(
+                self._mix(bn_last, sl, stack, node_mask, weights["last"][sl], training)
+            )
+            done += p_i
+
+        h = dense(d, name="concat")(jnp.concatenate(node_states, axis=-1))
+        return h
+
+
+# ---------------------------------------------------------------------------
+# naive <-> fused parameter conversion (parity tests, checkpoint migration)
+# ---------------------------------------------------------------------------
+
+LP_FIRST_BN_ORDER = ["f_zero", "f_identity", "f_dense_comp", "f_sparse_comp", "f_comp"]
+LP_MID_BN_ORDER = ["a_max", "a_sum", "a_mean"]
+LP_LAST_BN_ORDER = ["f_zero", "f_identity", "f_dense_last", "f_sparse_last"]
+LP_ZERO_BN_ORDER = ["pre_mult", "pre_sub", "pre_add"]
+
+
+def convert_naive_params(naive_vars: dict, spec: CellSpec) -> dict:
+    """Map a naive SupernetCell(task='lp') variables dict to the fused
+    cell's layout. Returns {'params': ..., 'batch_stats': ...}."""
+    import numpy as np
+
+    p = naive_vars["params"]
+    bs = naive_vars.get("batch_stats", {})
+    p1, p2, m = spec.n_first_edges, spec.n_last_edges, spec.first_nodes
+    out_p: dict = {}
+    out_bs: dict = {}
+
+    def bn_stack(tag, n, scope_fmt, order, stats=False):
+        src = bs if stats else p
+        a_key, b_key = ("mean", "var") if stats else ("scale", "bias")
+        A = np.stack(
+            [
+                np.stack([np.asarray(src[scope_fmt.format(i)][f"bn_{o}"][a_key]) for o in order])
+                for i in range(n)
+            ]
+        )
+        B = np.stack(
+            [
+                np.stack([np.asarray(src[scope_fmt.format(i)][f"bn_{o}"][b_key]) for o in order])
+                for i in range(n)
+            ]
+        )
+        d = out_bs if stats else out_p
+        d[f"{tag}_{a_key}"] = A
+        d[f"{tag}_{b_key}"] = B
+
+    bn_stack("bn_zero", 1, "zero_0", LP_ZERO_BN_ORDER)
+    bn_stack("bn_first", p1, "first_{}", LP_FIRST_BN_ORDER)
+    bn_stack("bn_middle", m, "middle_{}", LP_MID_BN_ORDER)
+    bn_stack("bn_last", p2, "last_{}", LP_LAST_BN_ORDER)
+    if bs:
+        bn_stack("bn_zero", 1, "zero_0", LP_ZERO_BN_ORDER, stats=True)
+        bn_stack("bn_first", p1, "first_{}", LP_FIRST_BN_ORDER, stats=True)
+        bn_stack("bn_middle", m, "middle_{}", LP_MID_BN_ORDER, stats=True)
+        bn_stack("bn_last", p2, "last_{}", LP_LAST_BN_ORDER, stats=True)
+
+    for s in ("in", "out", "self"):
+        out_p[f"first_w_{s}"] = np.stack(
+            [
+                np.concatenate(
+                    [
+                        np.asarray(p[f"first_{i}"]["FDenseComp_0"]["g"][f"W_{s}"]["kernel"]),
+                        np.asarray(p[f"first_{i}"]["FSparseComp_0"]["g"][f"W_{s}"]["kernel"]),
+                        np.asarray(p[f"first_{i}"]["FComp_0"][f"W_{s}"]["kernel"]),
+                    ],
+                    axis=-1,
+                )
+                for i in range(p1)
+            ]
+        )
+        out_p[f"first_b_{s}"] = np.stack(
+            [
+                np.stack(
+                    [
+                        np.asarray(p[f"first_{i}"]["FDenseComp_0"]["g"][f"W_{s}"]["bias"]),
+                        np.asarray(p[f"first_{i}"]["FSparseComp_0"]["g"][f"W_{s}"]["bias"]),
+                    ]
+                )
+                for i in range(p1)
+            ]
+        )
+        out_p[f"first_a_{s}"] = np.stack(
+            [
+                np.asarray(p[f"first_{i}"]["FSparseComp_0"]["g"][f"a_{s}"]["kernel"])
+                for i in range(p1)
+            ]
+        )
+
+    out_p["middle_w"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"middle_{i}"]["AMaxLP_0"]["Dense_0"]["kernel"]),
+                    np.asarray(p[f"middle_{i}"]["AMeanLP_0"]["Dense_0"]["kernel"]),
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    out_p["middle_b"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"middle_{i}"]["AMaxLP_0"]["Dense_0"]["bias"]),
+                    np.asarray(p[f"middle_{i}"]["AMeanLP_0"]["Dense_0"]["bias"]),
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    out_p["last_w"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"last_{i}"]["FDenseLast_0"]["Dense_0"]["kernel"]),
+                    np.asarray(p[f"last_{i}"]["FSparseLast_0"]["W"]["kernel"]),
+                ]
+            )
+            for i in range(p2)
+        ]
+    )
+    out_p["last_b"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"last_{i}"]["FDenseLast_0"]["Dense_0"]["bias"]),
+                    np.asarray(p[f"last_{i}"]["FSparseLast_0"]["W"]["bias"]),
+                ]
+            )
+            for i in range(p2)
+        ]
+    )
+    out_p["last_a"] = np.stack(
+        [np.asarray(p[f"last_{i}"]["FSparseLast_0"]["a"]["kernel"]) for i in range(p2)]
+    )
+    out_p["concat"] = p["concat"]
+    return {"params": out_p, "batch_stats": out_bs}

@@ -76,6 +76,8 @@ class LPSupernet(nn.Module):
     num_base_r: int
     dropout_cell: float = 0.3
     drop_aggr: float = 0.1
+    fused: bool = True  # fused einsum cells (see cells/fused.py); the
+    # naive per-module path is kept for parity testing and NC
 
     @nn.compact
     def __call__(self, graph: RelGraph, alphas: dict, training: bool = False):
@@ -101,12 +103,22 @@ class LPSupernet(nn.Module):
             else:
                 ent_in = jnp.take(ent_emb, graph.src, axis=0)
             hr = jnp.take(rel_embed, graph.etype, axis=0)
-            cell = SupernetCell(
-                spec=self.spec,
-                feature_dim=self.feature_dim,
-                drop_aggr=self.drop_aggr,
-                name=f"cell_{i}",
-            )
+            if self.fused:
+                from mr_gnas_tpu.cells.fused import FusedSupernetCellLP
+
+                cell = FusedSupernetCellLP(
+                    spec=self.spec,
+                    feature_dim=self.feature_dim,
+                    drop_aggr=self.drop_aggr,
+                    name=f"cell_{i}",
+                )
+            else:
+                cell = SupernetCell(
+                    spec=self.spec,
+                    feature_dim=self.feature_dim,
+                    drop_aggr=self.drop_aggr,
+                    name=f"cell_{i}",
+                )
             ent_emb = cell(graph, ent_in, hr, w, training)
             ent_emb = bn(ent_emb, graph.node_mask, training)
             # ReLU skip rule of model_search_lp.py:146-148: layer 0 of a
