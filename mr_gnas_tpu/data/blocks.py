@@ -41,6 +41,22 @@ class CSRGraph:
         return self.src[idx], self.dst[idx], self.etype[idx]
 
 
+def _expand(csr: "CSRGraph", needed: np.ndarray):
+    """One-hop in-edges + next frontier (seeds-prefix convention).
+
+    Uses the native C++ frontier expansion (csrc/sampler.cc) when
+    available; numpy fallback below."""
+    from mr_gnas_tpu import native
+
+    out = native.in_edges_frontier_native(csr.indptr, csr.src, csr.etype, needed)
+    if out is not None:
+        e_src, e_dst_pos, e_et, frontier = out
+        return (e_src, needed[e_dst_pos], e_et), frontier
+    s, d, t = csr.in_edges(needed)
+    extra = np.setdiff1d(np.unique(s), needed)
+    return (s, d, t), np.concatenate([needed, extra])
+
+
 def build_blocks(
     csr: CSRGraph,
     seeds: np.ndarray,
@@ -68,11 +84,8 @@ def build_blocks(
     needed = uniq
     for i in range(layers - 1, -1, -1):
         dsts[i] = needed
-        s, d, t = csr.in_edges(needed)
+        (s, d, t), needed = _expand(csr, needed)
         raw[i] = (s, d, t)
-        # next (outer) layer's dst set: dst-prefix convention like DGL
-        extra = np.setdiff1d(np.unique(s), needed)
-        needed = np.concatenate([needed, extra])
 
     blocks = []
     for i in range(layers):

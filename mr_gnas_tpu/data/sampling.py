@@ -47,7 +47,18 @@ def sample_edge_uniform(n_triplets: int, sample_size: int, rng: np.random.Genera
 def sample_edge_neighborhood(
     adj_list, degrees, n_triplets: int, sample_size: int, rng: np.random.Generator
 ):
-    """Connected-subgraph growth sampler (utils_rgcn.py:30-72)."""
+    """Connected-subgraph growth sampler (utils_rgcn.py:30-72).
+
+    Uses the native C++ sampler (csrc/sampler.cc) when available — same
+    distribution family, different RNG stream; numpy fallback below."""
+    from mr_gnas_tpu import native
+
+    flat, off = native.flatten_adj(adj_list)
+    out = native.sample_edge_neighborhood_native(
+        flat, off, n_triplets, sample_size, int(rng.integers(2**62))
+    )
+    if out is not None:
+        return out
     edges = np.zeros(sample_size, dtype=np.int64)
     sample_counts = np.array(degrees, dtype=np.int64)
     picked = np.zeros(n_triplets, dtype=bool)
