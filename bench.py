@@ -33,6 +33,7 @@ def run_bench(
     negative_rate: int = 10,
     steps: int = 20,
     warmup: int = 3,
+    bf16: bool = False,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -69,6 +70,7 @@ def run_bench(
         num_base_r=num_base_r,
         dropout_cell=0.3,
         drop_aggr=0.1,
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     alphas = init_alphas(jax.random.key(0), spec, layers, with_final=True)
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)

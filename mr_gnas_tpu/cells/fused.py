@@ -67,6 +67,8 @@ class FusedSupernetCellLP(nn.Module):
     drop_aggr: float = 0.1
     momentum: float = 0.9
     epsilon: float = 1e-5
+    compute_dtype: object = jnp.float32  # bf16 halves HBM traffic of the
+    # op stacks; BN statistics stay f32
 
     # ---- stage-wide BN with sliced application --------------------------
 
@@ -80,13 +82,15 @@ class FusedSupernetCellLP(nn.Module):
         return (scale, bias, rm, rv)
 
     def _bn_apply(self, bn, sl, x, mask, training: bool):
-        """x: [p, K, R, D]; sl: slice into the stage's pair dim."""
+        """x: [p, K, R, D]; sl: slice into the stage's pair dim.
+        Statistics in f32 regardless of compute dtype."""
         scale, bias, rm, rv = bn
+        xf = x.astype(jnp.float32)
         if training:
             m = mask[:, None]
             cnt = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(x * m, axis=-2) / cnt
-            var = jnp.sum(((x - mean[..., None, :]) ** 2) * m, axis=-2) / cnt
+            mean = jnp.sum(xf * m, axis=-2) / cnt
+            var = jnp.sum(((xf - mean[..., None, :]) ** 2) * m, axis=-2) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 rm.value = rm.value.at[sl].set(
@@ -97,13 +101,15 @@ class FusedSupernetCellLP(nn.Module):
                 )
         else:
             mean, var = rm.value[sl], rv.value[sl]
-        y = (x - mean[..., None, :]) * jax.lax.rsqrt(var[..., None, :] + self.epsilon)
-        return y * scale[sl][..., None, :] + bias[sl][..., None, :]
+        y = (x - mean[..., None, :].astype(x.dtype)) * jax.lax.rsqrt(
+            var[..., None, :] + self.epsilon
+        ).astype(x.dtype)
+        return y * scale[sl][..., None, :].astype(x.dtype) + bias[sl][..., None, :].astype(x.dtype)
 
     def _mix(self, bn, sl, stack, mask, w, training):
         """BN + ReLU + alpha-mix over ops + sum over pairs -> [R, D]."""
         y = jax.nn.relu(self._bn_apply(bn, sl, stack, mask, training))
-        return jnp.einsum("pkrd,pk->rd", y, w)
+        return jnp.einsum("pkrd,pk->rd", y, w.astype(y.dtype))
 
     # ---- forward --------------------------------------------------------
 
@@ -116,7 +122,10 @@ class FusedSupernetCellLP(nn.Module):
         nf, ne = graph.n_fwd, graph.n_edge_rows
         row_mask, node_mask = graph.row_mask, graph.node_mask
         edge_mask = graph.edge_mask
-        norm_e = graph.norm[:ne][None, :, None]
+        cdt = self.compute_dtype
+        src_emb = src_emb.astype(cdt)
+        hr = hr.astype(cdt)
+        norm_e = graph.norm[:ne][None, :, None].astype(cdt)
         dst_e = graph.dst[:ne]
 
         # ---------------- zero stage ----------------
@@ -142,12 +151,15 @@ class FusedSupernetCellLP(nn.Module):
         bn_first = self._bn_decl("bn_first", (p1, 5))
 
         def gate_section(cat_s, h_s, w, b, a):
-            z = jnp.einsum("prc,pck->prk", cat_s, w, preferred_element_type=jnp.float32)
+            z = jnp.einsum(
+                "prc,pck->prk", cat_s, w.astype(cat_s.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(cat_s.dtype)
             zd, zs, zc = jnp.split(z, 3, axis=-1)
-            zd = zd + b[:, 0][:, None, :]
-            zs = zs + b[:, 1][:, None, :]
+            zd = zd + b[:, 0][:, None, :].astype(zd.dtype)
+            zs = zs + b[:, 1][:, None, :].astype(zs.dtype)
             out_d = jax.nn.sigmoid(zd) * h_s
-            gate = jax.nn.sigmoid(jnp.einsum("prd,pdo->pro", zs, a))
+            gate = jax.nn.sigmoid(jnp.einsum("prd,pdo->pro", zs, a.astype(zs.dtype)))
             return out_d, gate * h_s, zc
 
         states = [h_in]
@@ -191,8 +203,11 @@ class FusedSupernetCellLP(nn.Module):
         S = jnp.stack(first_states)  # [M, R, D]
         SE, SSelf = S[:, :ne], S[:, ne:]
         lin = jax.nn.relu(
-            jnp.einsum("med,mkdf->mkef", SE, w_mid, preferred_element_type=jnp.float32)
-            + b_mid[..., None, :]
+            jnp.einsum(
+                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(SE.dtype)
+            + b_mid[..., None, :].astype(SE.dtype)
         )  # [M, 2(max,mean), E, D]
         vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
         vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
@@ -221,11 +236,14 @@ class FusedSupernetCellLP(nn.Module):
             sl = slice(done, done + p_i)
             pairs = jnp.stack(node_states)  # [p_i, N, D]
             z = jnp.einsum(
-                "pnd,pkdf->pknf", pairs, w_last[sl], preferred_element_type=jnp.float32
-            ) + b_last[sl][..., None, :]
+                "pnd,pkdf->pknf", pairs, w_last[sl].astype(pairs.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(pairs.dtype) + b_last[sl][..., None, :].astype(pairs.dtype)
             zd, zs = z[:, 0], z[:, 1]
             f_dense = jax.nn.sigmoid(zd) * pairs
-            gate = jax.nn.sigmoid(jnp.einsum("pnd,pdo->pno", zs, a_last[sl]))
+            gate = jax.nn.sigmoid(
+                jnp.einsum("pnd,pdo->pno", zs, a_last[sl].astype(zs.dtype))
+            )
             f_sparse = gate * pairs
             stack = jnp.stack(
                 [jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1
@@ -235,7 +253,9 @@ class FusedSupernetCellLP(nn.Module):
             )
             done += p_i
 
-        h = dense(d, name="concat")(jnp.concatenate(node_states, axis=-1))
+        h = dense(d, name="concat")(
+            jnp.concatenate(node_states, axis=-1).astype(jnp.float32)
+        )
         return h
 
 

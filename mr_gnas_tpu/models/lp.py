@@ -78,6 +78,7 @@ class LPSupernet(nn.Module):
     drop_aggr: float = 0.1
     fused: bool = True  # fused einsum cells (see cells/fused.py); the
     # naive per-module path is kept for parity testing and NC
+    compute_dtype: object = jnp.float32  # bf16 for the fused cell stacks
 
     @nn.compact
     def __call__(self, graph: RelGraph, alphas: dict, training: bool = False):
@@ -110,6 +111,7 @@ class LPSupernet(nn.Module):
                     spec=self.spec,
                     feature_dim=self.feature_dim,
                     drop_aggr=self.drop_aggr,
+                    compute_dtype=self.compute_dtype,
                     name=f"cell_{i}",
                 )
             else:

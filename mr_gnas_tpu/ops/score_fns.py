@@ -63,6 +63,7 @@ class SfConvE(nn.Module):
     k_h: int = 20
     conve_hid_drop: float = 0.3
     feat_drop: float = 0.3
+    with_sigmoid: bool = True  # False -> raw logits (CompGCN adds a bias)
 
     @nn.compact
     def __call__(self, all_ent: jax.Array, sub: jax.Array, rel: jax.Array, training: bool = False):
@@ -94,4 +95,4 @@ class SfConvE(nn.Module):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9, name="bn2")(x)
         x = jax.nn.relu(x)
         x = jnp.dot(x, all_ent.T, preferred_element_type=jnp.float32)
-        return jax.nn.sigmoid(x)
+        return jax.nn.sigmoid(x) if self.with_sigmoid else x

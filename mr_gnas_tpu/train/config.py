@@ -77,6 +77,7 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     eval_batch_size: int = 1000
     eval_protocol: str = "filtered"
     n_nodes_pad: int = 0  # 0 -> auto (2 * graph_batch_size, rounded)
+    bf16: bool = False  # bfloat16 compute in the fused supernet cells
 
 
 @dataclasses.dataclass

@@ -68,6 +68,8 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         first_nodes=cfg.first_nodes,
         last_nodes=cfg.last_nodes,
     )
+    import jax.numpy as _jnp
+
     model = LPSupernet(
         num_ent=kg.num_ent,
         num_rels=kg.num_rels,
@@ -78,6 +80,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         num_base_r=cfg.num_base_r,
         dropout_cell=cfg.dropout_cell,
         drop_aggr=cfg.drop_aggr,
+        compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
     )
     alphas = init_alphas(key, spec, cfg.layers, with_final=True)
     batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
