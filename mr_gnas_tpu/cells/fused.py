@@ -259,6 +259,165 @@ class FusedSupernetCellLP(nn.Module):
         return h
 
 
+class FusedSupernetCellNC(nn.Module):
+    """Fused NC supernet cell — same function as SupernetCell(task='nc').
+
+    NC differences from LP (models/cell.py:11-146 vs cell_lp.py):
+      * gates are plain ``[h; h_in]`` filters (no direction sections, no
+        norm scaling);
+      * every candidate-op pipeline has an extra Linear(d, d) after the
+        op (cell.py:17-20) — fused as one [pairs, ops, D, D] einsum per
+        stage;
+      * aggregators reduce over ALL edges with no self residual
+        (operations.py:109-164), a_sum has no dropout;
+      * the cell output gets BN + ReLU + dropout (cell.py:142-146).
+    Operates on :class:`EdgeGraph` (block view) tensors.
+    """
+
+    spec: CellSpec
+    feature_dim: int
+    dropout: float = 0.0
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    compute_dtype: object = jnp.float32
+
+    _bn_decl = FusedSupernetCellLP._bn_decl
+    _bn_apply = FusedSupernetCellLP._bn_apply
+    _mix = FusedSupernetCellLP._mix
+
+    @nn.compact
+    def __call__(self, graph, src_emb, hr, weights, training: bool):
+        spec, d = self.spec, self.feature_dim
+        assert spec.task == "nc"
+        p1, p2, m_nodes = spec.n_first_edges, spec.n_last_edges, spec.first_nodes
+        edge_mask, node_mask = graph.edge_mask, graph.node_mask
+        cdt = self.compute_dtype
+        src_emb = src_emb.astype(cdt)
+        hr = hr.astype(cdt)
+
+        def post_linear(stack, w, b):
+            """Per-(pair, op) Linear(d, d): [p, K, R, D] x [p, K, D, D]."""
+            return jnp.einsum(
+                "pkrd,pkdf->pkrf", stack, w.astype(stack.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(stack.dtype) + b[..., None, :].astype(stack.dtype)
+
+        # ---------------- zero stage ----------------
+        z_stack = jnp.stack([src_emb * hr, src_emb - hr, src_emb + hr])[None]
+        zw = self.param("zero_post_w", blocked_xavier(1), (1, 3, d, d))
+        zb = self.param("zero_post_b", nn.initializers.zeros_init(), (1, 3, d))
+        bn_zero = self._bn_decl("bn_zero", (1, 3))
+        h_in = self._mix(
+            bn_zero, slice(0, 1), post_linear(z_stack, zw, zb),
+            edge_mask, weights["zero"][:1], training,
+        )
+
+        # ---------------- first stage ----------------
+        gw = self.param("first_gate_w", blocked_xavier(2), (p1, 2 * d, 2 * d))
+        gb = self.param("first_gate_b", nn.initializers.zeros_init(), (p1, 2, d))
+        ga = self.param("first_gate_a", blocked_xavier(1), (p1, d, 1))
+        pw = self.param("first_post_w", blocked_xavier(1), (p1, 4, d, d))
+        pb = self.param("first_post_b", nn.initializers.zeros_init(), (p1, 4, d))
+        bn_first = self._bn_decl("bn_first", (p1, 4))
+
+        def gates(pairs, h_in_b, w, b, a):
+            cat = jnp.concatenate([pairs, h_in_b], -1)
+            z = jnp.einsum(
+                "prc,pck->prk", cat, w.astype(cat.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(cat.dtype)
+            zd, zs = jnp.split(z, 2, axis=-1)
+            zd = zd + b[:, 0][:, None, :].astype(zd.dtype)
+            zs = zs + b[:, 1][:, None, :].astype(zs.dtype)
+            f_dense = jax.nn.sigmoid(zd) * pairs
+            gate = jax.nn.sigmoid(jnp.einsum("prd,pdo->pro", zs, a.astype(zs.dtype)))
+            return f_dense, gate * pairs
+
+        states = [h_in]
+        done = 0
+        for _ in range(spec.first_nodes):
+            p_i = len(states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(states)
+            f_dense, f_sparse = gates(
+                pairs, jnp.broadcast_to(h_in, pairs.shape), gw[sl], gb[sl], ga[sl]
+            )
+            stack = jnp.stack(
+                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1
+            )  # NC_FIRST_OPS order
+            stack = post_linear(stack, pw[sl], pb[sl])
+            states.append(
+                self._mix(bn_first, sl, stack, edge_mask, weights["first"][sl], training)
+            )
+            done += p_i
+        first_states = states[1:]
+
+        # ---------------- middle stage ----------------
+        aw = self.param("middle_pre_w", blocked_xavier(1), (m_nodes, 2, d, d))
+        ab = self.param("middle_pre_b", nn.initializers.zeros_init(), (m_nodes, 2, d))
+        mw = self.param("middle_post_w", blocked_xavier(1), (m_nodes, 3, d, d))
+        mb = self.param("middle_post_b", nn.initializers.zeros_init(), (m_nodes, 3, d))
+        bn_mid = self._bn_decl("bn_middle", (m_nodes, 3))
+        S = jnp.stack(first_states)  # [M, E, D]
+        lin = jax.nn.relu(
+            jnp.einsum(
+                "med,mkdf->mkef", S, aw.astype(S.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(S.dtype)
+            + ab[..., None, :].astype(S.dtype)
+        )
+        vmax = jax.vmap(lambda x: segment_max(x, graph.dst, graph.n_nodes, edge_mask))
+        vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, graph.n_nodes, edge_mask))
+        vmean = jax.vmap(lambda x: segment_mean(x, graph.dst, graph.n_nodes, edge_mask))
+        mid_stack = jnp.stack(
+            [vmax(lin[:, 0]), vsum(S), vmean(lin[:, 1])], axis=1
+        )  # NC_MIDDLE_OPS order (a_max, a_sum, a_mean)
+        mid_stack = post_linear(mid_stack.astype(cdt), mw, mb)
+        y = jax.nn.relu(
+            self._bn_apply(bn_mid, slice(0, m_nodes), mid_stack, node_mask, training)
+        )
+        node_states = list(jnp.einsum("mknd,mk->mnd", y, weights["middle"].astype(y.dtype)))
+
+        # ---------------- last stage ----------------
+        lw = self.param("last_gate_w", blocked_xavier(1), (p2, 2, d, d))
+        lb = self.param("last_gate_b", nn.initializers.zeros_init(), (p2, 2, d))
+        la = self.param("last_gate_a", blocked_xavier(1), (p2, d, 1))
+        qw = self.param("last_post_w", blocked_xavier(1), (p2, 4, d, d))
+        qb = self.param("last_post_b", nn.initializers.zeros_init(), (p2, 4, d))
+        bn_last = self._bn_decl("bn_last", (p2, 4))
+        done = 0
+        for _ in range(spec.last_nodes):
+            p_i = len(node_states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(node_states)
+            z = jnp.einsum(
+                "pnd,pkdf->pknf", pairs, lw[sl].astype(pairs.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(pairs.dtype) + lb[sl][..., None, :].astype(pairs.dtype)
+            zd, zs = z[:, 0], z[:, 1]
+            f_dense = jax.nn.sigmoid(zd) * pairs
+            gate = jax.nn.sigmoid(
+                jnp.einsum("pnd,pdo->pno", zs, la[sl].astype(zs.dtype))
+            )
+            f_sparse = gate * pairs
+            stack = jnp.stack([jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1)
+            stack = post_linear(stack, qw[sl], qb[sl])
+            node_states.append(
+                self._mix(bn_last, sl, stack, node_mask, weights["last"][sl], training)
+            )
+            done += p_i
+
+        h = dense(d, name="concat")(
+            jnp.concatenate(node_states, axis=-1).astype(jnp.float32)
+        )
+        from mr_gnas_tpu.layers import MaskedBatchNorm
+
+        h = MaskedBatchNorm(name="bn_out")(h, node_mask, training)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        return h
+
+
 # ---------------------------------------------------------------------------
 # naive <-> fused parameter conversion (parity tests, checkpoint migration)
 # ---------------------------------------------------------------------------
@@ -389,4 +548,146 @@ def convert_naive_params(naive_vars: dict, spec: CellSpec) -> dict:
         [np.asarray(p[f"last_{i}"]["FSparseLast_0"]["a"]["kernel"]) for i in range(p2)]
     )
     out_p["concat"] = p["concat"]
+    return {"params": out_p, "batch_stats": out_bs}
+
+
+NC_FIRST_BN_ORDER = ["f_zero", "f_identity", "f_dense", "f_sparse"]
+NC_ZERO_BN_ORDER = ["pre_mult", "pre_sub", "pre_add"]
+NC_MID_BN_ORDER = ["a_max", "a_sum", "a_mean"]
+NC_LAST_BN_ORDER = ["f_zero", "f_identity", "f_dense_last", "f_sparse_last"]
+
+
+def convert_naive_params_nc(naive_vars: dict, spec: CellSpec) -> dict:
+    """Map a naive SupernetCell(task='nc') variables dict to the fused NC
+    cell's layout."""
+    import numpy as np
+
+    p = naive_vars["params"]
+    bs = naive_vars.get("batch_stats", {})
+    p1, p2, m = spec.n_first_edges, spec.n_last_edges, spec.first_nodes
+    out_p: dict = {}
+    out_bs: dict = {}
+
+    def bn_stack(tag, n, scope_fmt, order, stats=False):
+        src = bs if stats else p
+        a_key, b_key = ("mean", "var") if stats else ("scale", "bias")
+        d = out_bs if stats else out_p
+        d[f"{tag}_{a_key}"] = np.stack(
+            [
+                np.stack([np.asarray(src[scope_fmt.format(i)][f"bn_{o}"][a_key]) for o in order])
+                for i in range(n)
+            ]
+        )
+        d[f"{tag}_{b_key}"] = np.stack(
+            [
+                np.stack([np.asarray(src[scope_fmt.format(i)][f"bn_{o}"][b_key]) for o in order])
+                for i in range(n)
+            ]
+        )
+
+    def post_stack(tag, n, scope_fmt, order):
+        out_p[f"{tag}_w"] = np.stack(
+            [
+                np.stack([np.asarray(p[scope_fmt.format(i)][f"lin_{o}"]["kernel"]) for o in order])
+                for i in range(n)
+            ]
+        )
+        out_p[f"{tag}_b"] = np.stack(
+            [
+                np.stack([np.asarray(p[scope_fmt.format(i)][f"lin_{o}"]["bias"]) for o in order])
+                for i in range(n)
+            ]
+        )
+
+    bn_stack("bn_zero", 1, "zero_0", NC_ZERO_BN_ORDER)
+    bn_stack("bn_first", p1, "first_{}", NC_FIRST_BN_ORDER)
+    bn_stack("bn_middle", m, "middle_{}", NC_MID_BN_ORDER)
+    bn_stack("bn_last", p2, "last_{}", NC_LAST_BN_ORDER)
+    if bs:
+        bn_stack("bn_zero", 1, "zero_0", NC_ZERO_BN_ORDER, stats=True)
+        bn_stack("bn_first", p1, "first_{}", NC_FIRST_BN_ORDER, stats=True)
+        bn_stack("bn_middle", m, "middle_{}", NC_MID_BN_ORDER, stats=True)
+        bn_stack("bn_last", p2, "last_{}", NC_LAST_BN_ORDER, stats=True)
+        out_bs["bn_out"] = bs["bn_out"]
+
+    post_stack("zero_post", 1, "zero_0", NC_ZERO_BN_ORDER)
+    post_stack("first_post", p1, "first_{}", NC_FIRST_BN_ORDER)
+    post_stack("middle_post", m, "middle_{}", NC_MID_BN_ORDER)
+    post_stack("last_post", p2, "last_{}", NC_LAST_BN_ORDER)
+
+    out_p["first_gate_w"] = np.stack(
+        [
+            np.concatenate(
+                [
+                    np.asarray(p[f"first_{i}"]["FDense_0"]["Dense_0"]["kernel"]),
+                    np.asarray(p[f"first_{i}"]["FSparse_0"]["W"]["kernel"]),
+                ],
+                axis=-1,
+            )
+            for i in range(p1)
+        ]
+    )
+    out_p["first_gate_b"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"first_{i}"]["FDense_0"]["Dense_0"]["bias"]),
+                    np.asarray(p[f"first_{i}"]["FSparse_0"]["W"]["bias"]),
+                ]
+            )
+            for i in range(p1)
+        ]
+    )
+    out_p["first_gate_a"] = np.stack(
+        [np.asarray(p[f"first_{i}"]["FSparse_0"]["a"]["kernel"]) for i in range(p1)]
+    )
+    out_p["middle_pre_w"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"middle_{i}"]["AMaxNC_0"]["Dense_0"]["kernel"]),
+                    np.asarray(p[f"middle_{i}"]["AMeanNC_0"]["Dense_0"]["kernel"]),
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    out_p["middle_pre_b"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"middle_{i}"]["AMaxNC_0"]["Dense_0"]["bias"]),
+                    np.asarray(p[f"middle_{i}"]["AMeanNC_0"]["Dense_0"]["bias"]),
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    out_p["last_gate_w"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"last_{i}"]["FDenseLast_0"]["Dense_0"]["kernel"]),
+                    np.asarray(p[f"last_{i}"]["FSparseLast_0"]["W"]["kernel"]),
+                ]
+            )
+            for i in range(p2)
+        ]
+    )
+    out_p["last_gate_b"] = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(p[f"last_{i}"]["FDenseLast_0"]["Dense_0"]["bias"]),
+                    np.asarray(p[f"last_{i}"]["FSparseLast_0"]["W"]["bias"]),
+                ]
+            )
+            for i in range(p2)
+        ]
+    )
+    out_p["last_gate_a"] = np.stack(
+        [np.asarray(p[f"last_{i}"]["FSparseLast_0"]["a"]["kernel"]) for i in range(p2)]
+    )
+    out_p["concat"] = p["concat"]
+    out_p["bn_out"] = p["bn_out"]
     return {"params": out_p, "batch_stats": out_bs}

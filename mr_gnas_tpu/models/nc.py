@@ -70,6 +70,8 @@ class NCSupernet(nn.Module):
     init_fea_dim: int
     num_base_r: int
     dropout: float = 0.0
+    fused: bool = True  # fused einsum cells (cells/fused.py), parity-
+    # tested against the naive per-module path
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], alphas: dict, training: bool = False):
@@ -90,12 +92,22 @@ class NCSupernet(nn.Module):
             if i == 0:
                 src_embed = layer_src
             w = layer_weights(alphas, self.spec, i)
-            cell = SupernetCell(
-                spec=self.spec,
-                feature_dim=self.feature_dim,
-                dropout=0.0,
-                name=f"cell_{i}",
-            )
+            if self.fused:
+                from mr_gnas_tpu.cells.fused import FusedSupernetCellNC
+
+                cell = FusedSupernetCellNC(
+                    spec=self.spec,
+                    feature_dim=self.feature_dim,
+                    dropout=0.0,
+                    name=f"cell_{i}",
+                )
+            else:
+                cell = SupernetCell(
+                    spec=self.spec,
+                    feature_dim=self.feature_dim,
+                    dropout=0.0,
+                    name=f"cell_{i}",
+                )
             node_embed = cell(g, src_embed, edges_embed, w, training)
             if i + 1 < len(blocks):
                 # next layer's per-edge src rows, gathered by position
