@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from mr_gnas_tpu.graph.build import round_up
 from mr_gnas_tpu.graph.container import Block
 
 

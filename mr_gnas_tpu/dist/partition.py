@@ -22,11 +22,9 @@ deferred until after the merge.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mr_gnas_tpu.kernels.segment import _NEG_LARGE
 

@@ -16,8 +16,6 @@ Shared plumbing (both networks):
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

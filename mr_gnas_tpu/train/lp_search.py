@@ -9,7 +9,6 @@ first-order and (working) second-order architect are available.
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 
 import jax
