@@ -27,6 +27,7 @@ from mr_gnas_tpu.models import LPSupernet, lp_search_loss
 from mr_gnas_tpu.nas import first_order_step, make_arch_optimizer, sgd_momentum_buffer, unrolled_step
 from mr_gnas_tpu.train.checkpoint import save_checkpoint
 from mr_gnas_tpu.train.config import LPSearchConfig
+from mr_gnas_tpu.train.eval import calc_mrr
 from mr_gnas_tpu.train.metrics import (
     ScalarLogger,
     Throughput,
@@ -150,6 +151,13 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         params = optax.apply_updates(params, updates)
         return params, new_bs, w_opt, loss
 
+    # full test graph for optional in-search eval (infer_graph analog)
+    test_graph = None
+    if cfg.eval_every > 0:
+        from mr_gnas_tpu.graph import build_rel_graph
+
+        test_graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+
     best_geno = genotypes_to_json(decode_genotypes(jax.device_get(alphas), spec, cfg.layers))
     patience = 0
     thr = Throughput()
@@ -193,6 +201,21 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
                 arch_loss=float(arch_loss),
                 edges_per_sec=thr.edges_per_sec,
             )
+
+        if cfg.eval_every > 0 and epoch > 0 and epoch % cfg.eval_every == 0:
+            ent, rel = model.apply(
+                {"params": params, "batch_stats": bstats}, test_graph, alphas, False
+            )
+            mrr, hit_k = calc_mrr(
+                ent, rel, kg.train, kg.valid, kg.test,
+                eval_bz=cfg.eval_batch_size, eval_p=cfg.eval_protocol,
+                num_ent=kg.num_ent,
+            )
+            log.info(
+                "Eval@%04d | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",
+                epoch, mrr, *hit_k,
+            )
+            scalars.log(epoch, test_mrr=mrr, test_hits10=hit_k[2])
 
         if epoch >= cfg.warm_epochs:
             genotypes = genotypes_to_json(

@@ -102,3 +102,11 @@ def count_parameters(params) -> int:
     import jax
 
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def calc_time(seconds: float) -> dict:
+    """Duration as day/hour/minute/second (utils/utils.py:266-270)."""
+    m, s = divmod(seconds, 60)
+    h, m = divmod(m, 60)
+    d, h = divmod(h, 24)
+    return {"day": int(d), "hour": int(h), "minute": int(m), "second": int(s)}

@@ -1,0 +1,35 @@
+"""The edge-list preprocessing path + NC npz round-trip."""
+import subprocess
+import sys
+
+import numpy as np
+
+from mr_gnas_tpu.data import load_nc_dataset
+
+
+def test_edgelist_preprocess_roundtrip(tmp_path):
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "edges.tsv").write_text(
+        "a\tr1\tb\nb\tr1\tc\nc\tr2\ta\nd\tr2\tb\na\tr2\tc\n"
+    )
+    (d / "labels.tsv").write_text("a\tX\nb\tY\nc\tX\n")
+    (d / "train.txt").write_text("a\nb\n")
+    (d / "test.txt").write_text("c\n")
+    out = tmp_path / "ds.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/preprocess_rdf.py", "--edgelist", str(d), "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    ds = load_nc_dataset(str(out))
+    assert ds.num_nodes == 4  # a b c d
+    assert ds.num_rels == 2
+    assert ds.num_classes == 2
+    assert len(ds.src) == 5
+    assert len(ds.target_ids) == 3
+    assert len(ds.train_idx) == 2 and len(ds.test_idx) == 1
+    # labels consistent: a and c share a class
+    la = ds.labels[list(ds.target_ids).index(0)]
+    lc = ds.labels[list(ds.target_ids).index(2)]
+    assert la == lc
