@@ -81,9 +81,10 @@ class FusedSupernetCellLP(nn.Module):
         rv = self.variable("batch_stats", f"{name}_var", lambda: jnp.ones(shape, jnp.float32))
         return (scale, bias, rm, rv)
 
-    def _bn_apply(self, bn, sl, x, mask, training: bool):
-        """x: [p, K, R, D]; sl: slice into the stage's pair dim.
-        Statistics in f32 regardless of compute dtype."""
+    def _bn_apply(self, bn, sl, x, mask, training: bool, op_sl=slice(None)):
+        """x: [p, K', R, D]; sl: slice into the stage's pair dim; op_sl:
+        slice into the op dim (for stacks that omit ops handled
+        analytically). Statistics in f32 regardless of compute dtype."""
         scale, bias, rm, rv = bn
         xf = x.astype(jnp.float32)
         if training:
@@ -93,23 +94,56 @@ class FusedSupernetCellLP(nn.Module):
             var = jnp.sum(((xf - mean[..., None, :]) ** 2) * m, axis=-2) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                rm.value = rm.value.at[sl].set(
-                    self.momentum * rm.value[sl] + (1 - self.momentum) * mean
+                rm.value = rm.value.at[sl, op_sl].set(
+                    self.momentum * rm.value[sl, op_sl] + (1 - self.momentum) * mean
                 )
-                rv.value = rv.value.at[sl].set(
-                    self.momentum * rv.value[sl] + (1 - self.momentum) * unbiased
+                rv.value = rv.value.at[sl, op_sl].set(
+                    self.momentum * rv.value[sl, op_sl] + (1 - self.momentum) * unbiased
                 )
         else:
-            mean, var = rm.value[sl], rv.value[sl]
+            mean, var = rm.value[sl, op_sl], rv.value[sl, op_sl]
         y = (x - mean[..., None, :].astype(x.dtype)) * jax.lax.rsqrt(
             var[..., None, :] + self.epsilon
         ).astype(x.dtype)
-        return y * scale[sl][..., None, :].astype(x.dtype) + bias[sl][..., None, :].astype(x.dtype)
+        return (
+            y * scale[sl, op_sl][..., None, :].astype(x.dtype)
+            + bias[sl, op_sl][..., None, :].astype(x.dtype)
+        )
 
     def _mix(self, bn, sl, stack, mask, w, training):
         """BN + ReLU + alpha-mix over ops + sum over pairs -> [R, D]."""
         y = jax.nn.relu(self._bn_apply(bn, sl, stack, mask, training))
         return jnp.einsum("pkrd,pk->rd", y, w.astype(y.dtype))
+
+    def _mix_const_op0(self, bn, sl, stack_rest, mask, w, training, c0):
+        """Mix where op 0's BN input is constant over rows (f_zero: the op
+        output is 0, or, for NC, the post-linear bias) — computed
+        analytically instead of materializing a [p, R, D] slab.
+
+        BN of constant rows c: training -> bias (mean = c, var = 0);
+        eval -> (c - rm) * rsqrt(rv + eps) * scale + bias. Running stats
+        still update (mean toward c, var toward 0) for checkpoint parity.
+        ``stack_rest``: [p, K-1, R, D] of the remaining ops.
+        """
+        scale, bias, rm, rv = bn
+        y = jax.nn.relu(
+            self._bn_apply(bn, sl, stack_rest, mask, training, op_sl=slice(1, None))
+        )
+        mixed = jnp.einsum("pkrd,pk->rd", y, w[:, 1:].astype(y.dtype))
+        c0 = c0.astype(jnp.float32)  # [p, D]
+        if training:
+            out0 = jnp.broadcast_to(bias[sl, 0], c0.shape)
+            if not self.is_initializing():
+                rm.value = rm.value.at[sl, 0].set(
+                    self.momentum * rm.value[sl, 0] + (1 - self.momentum) * c0
+                )
+                rv.value = rv.value.at[sl, 0].set(self.momentum * rv.value[sl, 0])
+        else:
+            out0 = (c0 - rm.value[sl, 0]) * jax.lax.rsqrt(
+                rv.value[sl, 0] + self.epsilon
+            ) * scale[sl, 0] + bias[sl, 0]
+        zero_term = jnp.einsum("pd,p->d", jax.nn.relu(out0), w[:, 0])
+        return mixed + zero_term[None, :].astype(mixed.dtype)
 
     # ---- forward --------------------------------------------------------
 
@@ -187,11 +221,13 @@ class FusedSupernetCellLP(nn.Module):
             f_comp = jnp.concatenate(
                 [jnp.concatenate([c_i / 3, c_o / 3], 1) * norm_e, c_s], 1
             )
-            stack = jnp.stack(
-                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse, f_comp], axis=1
-            )  # FIRST_OPS order
+            # FIRST_OPS order: f_zero handled analytically (op 0)
+            stack = jnp.stack([pairs, f_dense, f_sparse, f_comp], axis=1)
             states.append(
-                self._mix(bn_first, sl, stack, row_mask, weights["first"][sl], training)
+                self._mix_const_op0(
+                    bn_first, sl, stack, row_mask, weights["first"][sl], training,
+                    jnp.zeros((p_i, d), jnp.float32),
+                )
             )
             done += p_i
         first_states = states[1:]
@@ -245,11 +281,13 @@ class FusedSupernetCellLP(nn.Module):
                 jnp.einsum("pnd,pdo->pno", zs, a_last[sl].astype(zs.dtype))
             )
             f_sparse = gate * pairs
-            stack = jnp.stack(
-                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1
-            )  # LAST_OPS order
+            # LAST_OPS order: f_zero handled analytically (op 0)
+            stack = jnp.stack([pairs, f_dense, f_sparse], axis=1)
             node_states.append(
-                self._mix(bn_last, sl, stack, node_mask, weights["last"][sl], training)
+                self._mix_const_op0(
+                    bn_last, sl, stack, node_mask, weights["last"][sl], training,
+                    jnp.zeros((p_i, d), jnp.float32),
+                )
             )
             done += p_i
 
@@ -284,6 +322,7 @@ class FusedSupernetCellNC(nn.Module):
     _bn_decl = FusedSupernetCellLP._bn_decl
     _bn_apply = FusedSupernetCellLP._bn_apply
     _mix = FusedSupernetCellLP._mix
+    _mix_const_op0 = FusedSupernetCellLP._mix_const_op0
 
     @nn.compact
     def __call__(self, graph, src_emb, hr, weights, training: bool):
@@ -342,12 +381,15 @@ class FusedSupernetCellNC(nn.Module):
             f_dense, f_sparse = gates(
                 pairs, jnp.broadcast_to(h_in, pairs.shape), gw[sl], gb[sl], ga[sl]
             )
-            stack = jnp.stack(
-                [jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1
-            )  # NC_FIRST_OPS order
-            stack = post_linear(stack, pw[sl], pb[sl])
+            # NC_FIRST_OPS order: f_zero's pipeline output is the constant
+            # post-linear bias row — handled analytically (op 0)
+            stack = jnp.stack([pairs, f_dense, f_sparse], axis=1)
+            stack = post_linear(stack, pw[sl][:, 1:], pb[sl][:, 1:])
             states.append(
-                self._mix(bn_first, sl, stack, edge_mask, weights["first"][sl], training)
+                self._mix_const_op0(
+                    bn_first, sl, stack, edge_mask, weights["first"][sl], training,
+                    pb[sl][:, 0],
+                )
             )
             done += p_i
         first_states = states[1:]
@@ -400,10 +442,14 @@ class FusedSupernetCellNC(nn.Module):
                 jnp.einsum("pnd,pdo->pno", zs, la[sl].astype(zs.dtype))
             )
             f_sparse = gate * pairs
-            stack = jnp.stack([jnp.zeros_like(pairs), pairs, f_dense, f_sparse], axis=1)
-            stack = post_linear(stack, qw[sl], qb[sl])
+            # f_zero pipeline == constant post-linear bias (op 0)
+            stack = jnp.stack([pairs, f_dense, f_sparse], axis=1)
+            stack = post_linear(stack, qw[sl][:, 1:], qb[sl][:, 1:])
             node_states.append(
-                self._mix(bn_last, sl, stack, node_mask, weights["last"][sl], training)
+                self._mix_const_op0(
+                    bn_last, sl, stack, node_mask, weights["last"][sl], training,
+                    qb[sl][:, 0],
+                )
             )
             done += p_i
 

@@ -78,28 +78,39 @@ def synthetic_kg(
     n_valid: int = 100,
     n_test: int = 100,
     seed: int = 0,
+    noise: float = 0.15,
 ) -> KGDataset:
-    """Deterministic synthetic KG with mildly structured triples.
+    """Deterministic synthetic KG with a *generalizable* rule.
 
-    Relations connect entity clusters so that link prediction is learnable
-    (not pure noise): relation r links cluster (c) -> cluster ((c + r) % k).
+    Relation r maps an entity of cluster c to the anchor entity of
+    cluster (c + r) % k (plus ``noise`` fraction of random objects), so a
+    model that infers each subject's cluster from its other triples can
+    predict unseen (s, r) pairs — memorization alone scores at chance on
+    the test split, a learned structure scores high MRR. Used by tests
+    and benchmarks as the offline stand-in for FB15k-237/WN18RR.
     """
     rng = np.random.default_rng(seed)
     k = max(4, num_rels)
     cluster = rng.integers(0, k, size=num_ent)
-    by_cluster = [np.where(cluster == c)[0] for c in range(k)]
-    by_cluster = [c if len(c) else np.array([0]) for c in by_cluster]
+    anchors = np.array([rng.choice(np.where(cluster == c)[0]) if (cluster == c).any() else 0 for c in range(k)])
 
     def sample(n):
         s = rng.integers(0, num_ent, size=n)
         r = rng.integers(0, num_rels, size=n)
-        dst_cluster = (cluster[s] + r) % k
-        o = np.array([rng.choice(by_cluster[c]) for c in dst_cluster])
+        o = anchors[(cluster[s] + r) % k].copy()
+        noisy = rng.uniform(size=n) < noise
+        o[noisy] = rng.integers(0, num_ent, size=int(noisy.sum()))
         return np.stack([s, r, o], axis=1).astype(np.int64)
 
-    all_t = sample(n_train + n_valid + n_test)
+    total = n_train + n_valid + n_test
+    all_t = sample(total)
     all_t = np.unique(all_t, axis=0)
+    tries = 0
+    while len(all_t) < total and tries < 20:
+        all_t = np.unique(np.concatenate([all_t, sample(total)]), axis=0)
+        tries += 1
     rng.shuffle(all_t)
+    all_t = all_t[:total]
     n_train = min(n_train, len(all_t) - 2)
     n_valid = min(n_valid, (len(all_t) - n_train) // 2)
     return KGDataset(

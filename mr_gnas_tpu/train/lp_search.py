@@ -25,7 +25,7 @@ from mr_gnas_tpu.data import (
 from mr_gnas_tpu.graph.build import round_up
 from mr_gnas_tpu.models import LPSupernet, lp_search_loss
 from mr_gnas_tpu.nas import first_order_step, make_arch_optimizer, sgd_momentum_buffer, unrolled_step
-from mr_gnas_tpu.train.checkpoint import save_checkpoint
+from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mr_gnas_tpu.train.config import LPSearchConfig
 from mr_gnas_tpu.train.eval import calc_mrr
 from mr_gnas_tpu.train.metrics import (
@@ -86,6 +86,14 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
     variables = model.init(jax.random.key(cfg.seed + 1), batch0.graph, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
+    if cfg.checkpoint:
+        state, meta = load_checkpoint(
+            cfg.checkpoint,
+            {"params": params, "batch_stats": bstats, "alphas": alphas},
+        )
+        params, bstats, alphas = state["params"], state["batch_stats"], state["alphas"]
+        log.info("resumed search state from %s (epoch %s)",
+                 cfg.checkpoint, (meta or {}).get("epoch"))
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     lr_schedule = optax.cosine_decay_schedule(
