@@ -27,9 +27,28 @@ from mr_gnas_tpu.train import (
     run_nc_train,
 )
 
+def run_lp_predict(cfg: LPTrainConfig):
+    """Load a retrain checkpoint and rank the test queries (serving
+    smoke path); requires --checkpoint and --genotype."""
+    import numpy as np
+
+    from mr_gnas_tpu.data import load_dataset, process
+    from mr_gnas_tpu.serve import Predictor
+
+    pred = Predictor.from_checkpoint(cfg.checkpoint, cfg)
+    kg = load_dataset(cfg.dataset, cfg.data_root)
+    trips = process(
+        {"train": kg.train, "valid": kg.valid, "test": kg.test}, kg.num_rels
+    )["test_tail"].triples
+    vals, idx = pred.topk(trips[:, 0], trips[:, 1], k=10)
+    hits = float((idx == trips[:, 2][:, None]).any(axis=1).mean())
+    return {"queries": len(trips), "hits@10": hits, "top1_sample": idx[:5, 0].tolist()}
+
+
 COMMANDS = {
     "lp-search": (LPSearchConfig, run_lp_search),
     "lp-train": (LPTrainConfig, run_lp_train),
+    "lp-predict": (LPTrainConfig, run_lp_predict),
     "nc-search": (NCSearchConfig, run_nc_search),
     "nc-train": (NCTrainConfig, run_nc_train),
 }

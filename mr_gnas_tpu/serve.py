@@ -1,0 +1,93 @@
+"""Serving: checkpointed LP models as a query-scoring service.
+
+The reference has no inference path beyond its eval loop; production
+deployment needs one. :class:`Predictor` loads a retrained checkpoint,
+precomputes the entity/relation embeddings once (the GNN encode is
+query-independent — the expensive part of the reference's per-batch
+forward, train/mr_lp_train.py:230, is hoisted out entirely), and serves
+jitted 1-vs-N scoring / top-k retrieval. With a mesh, the entity table
+and score columns shard over the ``model`` axis (the TP analog).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mr_gnas_tpu.cells.genotype import Genotype
+from mr_gnas_tpu.data import load_dataset
+from mr_gnas_tpu.graph import build_rel_graph
+from mr_gnas_tpu.models import LPNetwork
+from mr_gnas_tpu.train.checkpoint import load_checkpoint
+from mr_gnas_tpu.train.config import LPTrainConfig
+from mr_gnas_tpu.train.lp_train import parse_genotypes
+
+
+class Predictor:
+    """Precomputed-embedding LP scorer.
+
+    Build with :meth:`from_checkpoint` (driver artifacts) or directly
+    from (model, variables, graph).
+    """
+
+    def __init__(self, model: LPNetwork, variables: dict, graph):
+        self.model = model
+        ent, rel = model.apply(
+            variables, graph, False, method=LPNetwork.encode
+        )
+        self.ent_emb = ent
+        self.rel_emb = rel
+        self.variables = variables
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, subj, rel):
+        sub_emb = jnp.take(self.ent_emb, subj, axis=0)
+        rel_e = jnp.take(self.rel_emb, rel, axis=0)
+        return self.model.apply(
+            self.variables,
+            self.ent_emb,
+            sub_emb,
+            rel_e,
+            False,
+            method=lambda m, a, s, r, t: m.score_fn(a, s, r, t),
+        )
+
+    def scores(self, subj, rel) -> jax.Array:
+        """[B, num_ent] probabilities for (subj, rel) queries."""
+        return self._score(jnp.asarray(subj), jnp.asarray(rel))
+
+    def topk(self, subj, rel, k: int = 10):
+        """(scores [B, k], entity ids [B, k]) best completions."""
+        s = self.scores(subj, rel)
+        vals, idx = jax.lax.top_k(s, k)
+        return np.asarray(vals), np.asarray(idx)
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_path: str, cfg: LPTrainConfig, genotypes: list[Genotype] | None = None
+    ) -> "Predictor":
+        kg = load_dataset(cfg.dataset, cfg.data_root)
+        graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+        genos = genotypes or parse_genotypes(cfg.genotype)
+        model = LPNetwork(
+            genotypes=tuple(genos),
+            num_ent=kg.num_ent,
+            num_rels=kg.num_rels,
+            feature_dim=cfg.feature_dim,
+            init_fea_dim=cfg.init_fea_dim,
+            num_base_r=cfg.num_base_r,
+            dropout_cell=cfg.dropout_cell,
+            drop_aggr=cfg.drop_aggr,
+            score_args=cfg.score_args(),
+        )
+        z = jnp.zeros((1,), jnp.int32)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), graph, z, z, False)
+        )
+        like = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+        state, _ = load_checkpoint(checkpoint_path, like)
+        return cls(
+            model,
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            graph,
+        )
