@@ -6,14 +6,12 @@ from mr_gnas_tpu.dist.mesh import (
 )
 from mr_gnas_tpu.dist.partition import (
     edge_partitioned_segment_reduce,
-    make_sharded_train_step,
     sharded_scores_rank,
 )
 
 __all__ = [
     "edge_partitioned_segment_reduce",
     "make_mesh",
-    "make_sharded_train_step",
     "replicate",
     "shard_entity_table",
     "shard_graph",

@@ -84,28 +84,6 @@ def edge_partitioned_segment_reduce(
     )(data, segment_ids, mask)
 
 
-def make_sharded_train_step(model, w_tx, mesh: Mesh, loss_fn):
-    """jit a supernet weight step whose inputs carry mesh shardings.
-
-    ``loss_fn(model, params, bstats, alphas, graph, trip, lab, key)`` must
-    return ``(loss, new_batch_stats)``. Input shardings are taken from the
-    committed arguments (annotation path); the result layouts follow.
-    """
-
-    @jax.jit
-    def step(params, bstats, opt_state, alphas, graph, trip, lab, key):
-        def wrapped(p):
-            return loss_fn(model, p, bstats, alphas, graph, trip, lab, key)
-
-        (loss, new_bs), grads = jax.value_and_grad(wrapped, has_aux=True)(params)
-        import optax
-
-        updates, new_opt = w_tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_bs, new_opt, loss
-
-    return step
-
-
 def sharded_scores_rank(
     scores: jax.Array,
     labels: jax.Array,
