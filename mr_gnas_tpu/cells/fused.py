@@ -184,17 +184,27 @@ class FusedSupernetCellLP(nn.Module):
         }
         bn_first = self._bn_decl("bn_first", (p1, 5))
 
-        def gate_section(cat_s, h_s, w, b, a):
+        def gate_section(pairs_s, h_in_s, w, b, a):
+            # the [h; h_in] concat matmul split in two: the h_in half is
+            # shared across all DAG pairs of the level (h_in is the same
+            # tensor), so it is computed once and broadcast — saves both
+            # the [p, R, 2D] concat materialization and p-fold redundant
+            # FLOPs on the h_in half
+            cdt = pairs_s.dtype
             z = jnp.einsum(
-                "prc,pck->prk", cat_s, w.astype(cat_s.dtype),
+                "prc,pck->prk", pairs_s, w[:, :pairs_s.shape[-1]].astype(cdt),
                 preferred_element_type=jnp.float32,
-            ).astype(cat_s.dtype)
+            ).astype(cdt)
+            z = z + jnp.einsum(
+                "rc,pck->prk", h_in_s, w[:, pairs_s.shape[-1]:].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
             zd, zs, zc = jnp.split(z, 3, axis=-1)
             zd = zd + b[:, 0][:, None, :].astype(zd.dtype)
             zs = zs + b[:, 1][:, None, :].astype(zs.dtype)
-            out_d = jax.nn.sigmoid(zd) * h_s
+            out_d = jax.nn.sigmoid(zd) * pairs_s
             gate = jax.nn.sigmoid(jnp.einsum("prd,pdo->pro", zs, a.astype(zs.dtype)))
-            return out_d, gate * h_s, zc
+            return out_d, gate * pairs_s, zc
 
         states = [h_in]
         done = 0
@@ -202,15 +212,14 @@ class FusedSupernetCellLP(nn.Module):
             p_i = len(states)
             sl = slice(done, done + p_i)
             pairs = jnp.stack(states)  # [p_i, R, D]
-            cat = jnp.concatenate([pairs, jnp.broadcast_to(h_in, pairs.shape)], -1)
             d_i, s_i, c_i = gate_section(
-                cat[:, :nf], pairs[:, :nf], w_sec["in"][sl], b_sec["in"][sl], a_sec["in"][sl]
+                pairs[:, :nf], h_in[:nf], w_sec["in"][sl], b_sec["in"][sl], a_sec["in"][sl]
             )
             d_o, s_o, c_o = gate_section(
-                cat[:, nf:ne], pairs[:, nf:ne], w_sec["out"][sl], b_sec["out"][sl], a_sec["out"][sl]
+                pairs[:, nf:ne], h_in[nf:ne], w_sec["out"][sl], b_sec["out"][sl], a_sec["out"][sl]
             )
             d_s, s_s, c_s = gate_section(
-                cat[:, ne:], pairs[:, ne:], w_sec["self"][sl], b_sec["self"][sl], a_sec["self"][sl]
+                pairs[:, ne:], h_in[ne:], w_sec["self"][sl], b_sec["self"][sl], a_sec["self"][sl]
             )
             f_dense = jnp.concatenate(
                 [jnp.concatenate([d_i / 3, d_o / 3], 1) * norm_e, d_s / 3], 1
@@ -359,12 +368,17 @@ class FusedSupernetCellNC(nn.Module):
         pb = self.param("first_post_b", nn.initializers.zeros_init(), (p1, 4, d))
         bn_first = self._bn_decl("bn_first", (p1, 4))
 
-        def gates(pairs, h_in_b, w, b, a):
-            cat = jnp.concatenate([pairs, h_in_b], -1)
+        def gates(pairs, h_in_s, w, b, a):
+            # split [h; h_in] matmul; the h_in half is shared across pairs
+            cdt_ = pairs.dtype
             z = jnp.einsum(
-                "prc,pck->prk", cat, w.astype(cat.dtype),
+                "prc,pck->prk", pairs, w[:, : pairs.shape[-1]].astype(cdt_),
                 preferred_element_type=jnp.float32,
-            ).astype(cat.dtype)
+            ).astype(cdt_)
+            z = z + jnp.einsum(
+                "rc,pck->prk", h_in_s, w[:, pairs.shape[-1] :].astype(cdt_),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt_)
             zd, zs = jnp.split(z, 2, axis=-1)
             zd = zd + b[:, 0][:, None, :].astype(zd.dtype)
             zs = zs + b[:, 1][:, None, :].astype(zs.dtype)
@@ -378,9 +392,7 @@ class FusedSupernetCellNC(nn.Module):
             p_i = len(states)
             sl = slice(done, done + p_i)
             pairs = jnp.stack(states)
-            f_dense, f_sparse = gates(
-                pairs, jnp.broadcast_to(h_in, pairs.shape), gw[sl], gb[sl], ga[sl]
-            )
+            f_dense, f_sparse = gates(pairs, h_in, gw[sl], gb[sl], ga[sl])
             # NC_FIRST_OPS order: f_zero's pipeline output is the constant
             # post-linear bias row — handled analytically (op 0)
             stack = jnp.stack([pairs, f_dense, f_sparse], axis=1)
