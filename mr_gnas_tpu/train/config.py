@@ -121,31 +121,35 @@ class LPTrainConfig(BaseConfig):
 
 @dataclasses.dataclass
 class NCSearchConfig(BaseConfig, SearchMixin):
-    """search/mr_nc_search.py defaults."""
+    """search/mr_nc_search.py defaults (:228-260)."""
 
     epochs: int = 200
-    batch_size: int = 50
-    feature_dim: int = 32
-    init_fea_dim: int = 32
-    num_base_r: int = 10
-    learning_rate: float = 1e-2
-    warm_epochs: int = 5
-    max_patience: int = 30
+    batch_size: int = 64
+    feature_dim: int = 64
+    init_fea_dim: int = 16
+    num_base_r: int = 50
+    first_nodes: int = 3  # --nodes (both first and last stages)
+    last_nodes: int = 3
+    learning_rate: float = 5e-3
+    learning_rate_min: float = 1e-3
+    warm_epochs: int = 20
+    max_patience: int = 20
     dropout: float = 0.0
 
 
 @dataclasses.dataclass
 class NCTrainConfig(BaseConfig):
-    """train/mr_nc_train.py defaults."""
+    """train/mr_nc_train.py defaults (:213-245)."""
 
-    epochs: int = 200
-    batch_size: int = 50
+    epochs: int = 600
+    batch_size: int = 64
     layers: int = 2
-    feature_dim: int = 32
-    init_fea_dim: int = 32
-    num_base_r: int = 10
-    learning_rate: float = 1e-2
+    feature_dim: int = 64
+    init_fea_dim: int = 16
+    num_base_r: int = 50
+    learning_rate: float = 5e-4
+    learning_rate_min: float = 1e-5
     optimizer: str = "sgd"
     genotype: str = ""
-    op_norm: bool = True
+    op_norm: bool = False  # --op_norm default False (mr_nc_train.py:229)
     dropout: float = 0.0
