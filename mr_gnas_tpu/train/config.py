@@ -66,6 +66,7 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     feature_dim: int = 200
     init_fea_dim: int = 100
     num_base_r: int = 475
+    arch_weight_decay: float = 1e-5  # mr_lp_search.py:296 (NC uses 1e-3)
     graph_batch_size: int = 300
     graph_batch_size_val: int = 100
     graph_split_size: float = 0.5
@@ -90,7 +91,14 @@ class LPTrainConfig(BaseConfig):
     epochs: int = 120
     batch_size: int = 256
     num_base_r: int = 23
-    genotype: str = ""  # JSON or reference-format string; required
+    # the published FB15k-237 genotype with the ConvE head — the
+    # reference's default (train/mr_lp_train.py:379-380)
+    genotype: str = (
+        "[Genotype(alpha_cell=[('pre_mult', 1, 0), ('f_sparse_comp', 2, 1), "
+        "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_max', 5, 3), "
+        "('f_sparse_last', 6, 5), ('f_sparse_last', 7, 5)], "
+        "concat_node=[4, 5, 6, 7], score_func='sf_ConvE')]"
+    )
     optimizer: str = "adam"
     lbl_smooth: float = 0.1
     dropout_cell: float = 0.3
