@@ -77,6 +77,9 @@ class LPSupernet(nn.Module):
     fused: bool = True  # fused einsum cells (see cells/fused.py); the
     # naive per-module path is kept for parity testing and NC
     compute_dtype: object = jnp.float32  # bf16 for the fused cell stacks
+    remat: bool = False  # rematerialize cell activations in backward
+    # (trades ~1 extra forward for not holding the op stacks across the
+    # whole backward — the jax.checkpoint lever for large graphs)
 
     @nn.compact
     def __call__(self, graph: RelGraph, alphas: dict, training: bool = False):
@@ -105,7 +108,12 @@ class LPSupernet(nn.Module):
             if self.fused:
                 from mr_gnas_tpu.cells.fused import FusedSupernetCellLP
 
-                cell = FusedSupernetCellLP(
+                cell_cls = (
+                    nn.remat(FusedSupernetCellLP, static_argnums=(5,))
+                    if self.remat
+                    else FusedSupernetCellLP
+                )
+                cell = cell_cls(
                     spec=self.spec,
                     feature_dim=self.feature_dim,
                     drop_aggr=self.drop_aggr,
