@@ -72,6 +72,7 @@ class NCSupernet(nn.Module):
     dropout: float = 0.0
     fused: bool = True  # fused einsum cells (cells/fused.py), parity-
     # tested against the naive per-module path
+    compute_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], alphas: dict, training: bool = False):
@@ -99,6 +100,7 @@ class NCSupernet(nn.Module):
                     spec=self.spec,
                     feature_dim=self.feature_dim,
                     dropout=0.0,
+                    compute_dtype=self.compute_dtype,
                     name=f"cell_{i}",
                 )
             else:
