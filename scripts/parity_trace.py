@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Per-layer activation parity harness (BASELINE.md: per-layer allclose).
+
+Two subcommands:
+
+``dump``    — run our LPNetwork on a dataset with a given genotype and
+              (optionally) a weights npz, recording per-layer entity
+              embeddings and the final scores for a fixed query batch to
+              an .npz trace.
+``compare`` — allclose-compare two trace files (ours vs a
+              reference-produced one; a torch/DGL dump script for the
+              reference side must be run in an environment that has DGL
+              — its expected npz schema is documented below).
+
+Trace schema (npz): ``layer_{i}`` [num_ent, D] per cell layer,
+``rel_{i}`` [num_rel, D], ``scores`` [B, num_ent], ``subj``/``rel_q`` [B].
+
+Usage:
+    python scripts/parity_trace.py dump --dataset synthetic \
+        --genotype "<...>" --out trace_ours.npz
+    python scripts/parity_trace.py compare trace_ours.npz trace_ref.npz \
+        --rtol 1e-4 --atol 1e-5
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def dump(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.data import load_dataset
+    from mr_gnas_tpu.graph import build_rel_graph
+    from mr_gnas_tpu.models import LPNetwork
+    from mr_gnas_tpu.train.checkpoint import load_checkpoint
+    from mr_gnas_tpu.train.lp_train import parse_genotypes
+
+    kg = load_dataset(args.dataset, args.data_root)
+    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    genos = parse_genotypes(args.genotype)
+    model = LPNetwork(
+        genotypes=tuple(genos),
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        feature_dim=args.feature_dim,
+        init_fea_dim=args.init_fea_dim,
+        num_base_r=args.num_base_r,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+    )
+    z = jnp.zeros((4,), jnp.int32)
+    variables = model.init(jax.random.key(args.seed), graph, z, z, False)
+    if args.checkpoint:
+        state, _ = load_checkpoint(
+            args.checkpoint, jax.device_get(variables)
+        )
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+
+    out = {}
+    # per-layer capture: re-run encode with a truncated cell stack reusing
+    # the full model's parameter prefix (simple and model-agnostic)
+    for i in range(1, len(genos) + 1):
+        sub = LPNetwork(
+            genotypes=tuple(genos[:i]),
+            num_ent=kg.num_ent,
+            num_rels=kg.num_rels,
+            feature_dim=args.feature_dim,
+            init_fea_dim=args.init_fea_dim,
+            num_base_r=args.num_base_r,
+            dropout_cell=0.0,
+            drop_aggr=0.0,
+        )
+        # reuse the prefix of the full model's variables
+        pv = {
+            "params": {
+                k: v for k, v in variables["params"].items()
+                if not k.startswith("cell_") or int(k.split("_")[1]) < i
+            },
+            "batch_stats": {
+                k: v for k, v in variables["batch_stats"].items()
+                if not k.startswith("cell_") or int(k.split("_")[1]) < i
+            },
+        }
+        e_i, r_i = sub.apply(pv, graph, False, method=LPNetwork.encode)
+        out[f"layer_{i-1}"] = np.asarray(e_i)
+        out[f"rel_{i-1}"] = np.asarray(r_i)
+
+    rng = np.random.default_rng(args.seed)
+    subj = rng.integers(0, kg.num_ent, size=args.batch).astype(np.int32)
+    rel_q = rng.integers(0, 2 * kg.num_rels, size=args.batch).astype(np.int32)
+    scores = model.apply(variables, graph, jnp.asarray(subj), jnp.asarray(rel_q), False)
+    out["scores"] = np.asarray(scores)
+    out["subj"] = subj
+    out["rel_q"] = rel_q
+    np.savez_compressed(args.out, **out)
+    print(f"wrote {args.out}: {sorted(out)}")
+    return 0
+
+
+def compare(args) -> int:
+    a = np.load(args.trace_a)
+    b = np.load(args.trace_b)
+    keys = sorted(set(a.files) & set(b.files))
+    if not keys:
+        print("no common arrays")
+        return 1
+    failed = 0
+    for k in keys:
+        try:
+            np.testing.assert_allclose(a[k], b[k], rtol=args.rtol, atol=args.atol)
+            print(f"  {k}: OK (max abs diff {np.abs(a[k]-b[k]).max():.3e})")
+        except AssertionError:
+            diff = np.abs(a[k].astype(np.float64) - b[k].astype(np.float64))
+            print(f"  {k}: FAIL (max abs diff {diff.max():.3e}, mean {diff.mean():.3e})")
+            failed += 1
+    print(f"{len(keys) - failed}/{len(keys)} arrays allclose")
+    return 1 if failed else 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    d = sub.add_parser("dump")
+    d.add_argument("--dataset", default="synthetic")
+    d.add_argument("--data-root", default="data")
+    d.add_argument("--genotype", required=True)
+    d.add_argument("--checkpoint", default="")
+    d.add_argument("--feature-dim", type=int, default=128)
+    d.add_argument("--init-fea-dim", type=int, default=128)
+    d.add_argument("--num-base-r", type=int, default=23)
+    d.add_argument("--batch", type=int, default=32)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--cpu", action="store_true", help="force CPU backend")
+    d.add_argument("--out", required=True)
+    c = sub.add_parser("compare")
+    c.add_argument("trace_a")
+    c.add_argument("trace_b")
+    c.add_argument("--rtol", type=float, default=1e-4)
+    c.add_argument("--atol", type=float, default=1e-5)
+    args = ap.parse_args()
+    return dump(args) if args.cmd == "dump" else compare(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

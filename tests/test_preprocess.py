@@ -33,3 +33,28 @@ def test_edgelist_preprocess_roundtrip(tmp_path):
     la = ds.labels[list(ds.target_ids).index(0)]
     lc = ds.labels[list(ds.target_ids).index(2)]
     assert la == lc
+
+
+def test_parity_trace_dump_compare(tmp_path):
+    import json
+
+    GENO = (
+        "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
+        "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_max', 5, 3), "
+        "('f_sparse_last', 6, 5), ('f_sparse_last', 7, 5)], "
+        "concat_node=[4, 5, 6, 7], score_func='sf_DisMult')]"
+    )
+    out = tmp_path / "trace.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/parity_trace.py", "dump", "--genotype", GENO,
+         "--feature-dim", "16", "--init-fea-dim", "8", "--num-base-r", "4",
+         "--cpu", "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "scripts/parity_trace.py", "compare", str(out), str(out)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 0
+    assert "allclose" in r2.stdout
