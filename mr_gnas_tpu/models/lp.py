@@ -187,9 +187,12 @@ class LPNetwork(nn.Module):
         args.setdefault("embed_dim", self.feature_dim)
         self.score_fn = make_score_fn(name, args)
 
-    def encode(self, graph: RelGraph, training: bool = False):
-        """Run the cell stack over the full graph -> (ent_emb, rel_embed)."""
+    def encode_trace(self, graph: RelGraph, training: bool = False):
+        """encode() that also returns the per-layer (ent_emb, rel_embed)
+        trace — the parity surface against the reference
+        (model_lp.py:130-133's loop states)."""
         ent_emb, rel_embed = self.emb()
+        trace = []
         for i, cell in enumerate(self.cells):
             ent_in = jnp.take(
                 ent_emb,
@@ -202,6 +205,12 @@ class LPNetwork(nn.Module):
             rel_embed = jnp.dot(
                 rel_embed, self.w_rel, preferred_element_type=jnp.float32
             )
+            trace.append((ent_emb, rel_embed))
+        return ent_emb, rel_embed, trace
+
+    def encode(self, graph: RelGraph, training: bool = False):
+        """Run the cell stack over the full graph -> (ent_emb, rel_embed)."""
+        ent_emb, rel_embed, _ = self.encode_trace(graph, training)
         return ent_emb, rel_embed
 
     def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
