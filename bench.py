@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def run_bench(
+def make_step(
     num_ent: int = 14541,
     num_rels: int = 237,
     feature_dim: int = 200,
@@ -31,10 +31,12 @@ def run_bench(
     layers: int = 2,
     graph_batch: int = 4096,
     negative_rate: int = 10,
-    steps: int = 20,
-    warmup: int = 3,
     bf16: bool = False,
-) -> dict:
+):
+    """Build the benchmark train step. Returns (train_step, state, inputs)
+    where state = (params, bstats, opt_state) and
+    inputs = (graph, trip, lab). Shared by bench.py and
+    scripts/profile_step.py."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -93,21 +95,29 @@ def run_bench(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
+    return train_step, (params, bstats, opt_state), (batch.graph, trip, lab)
+
+
+def run_bench(steps: int = 20, warmup: int = 3, **kw) -> dict:
+    import jax
+
+    train_step, (params, bstats, opt_state), (graph, trip, lab) = make_step(**kw)
+    batch_graph = graph
     key = jax.random.key(2)
     # edge rows actually processed per step (real fwd+inv rows)
-    n_edges = int(np.asarray(batch.graph.edge_mask).sum())
+    n_edges = int(np.asarray(batch_graph.edge_mask).sum())
 
     for i in range(warmup):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
-            params, bstats, opt_state, batch.graph, trip, lab, k
+            params, bstats, opt_state, batch_graph, trip, lab, k
         )
     loss.block_until_ready()
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
-            params, bstats, opt_state, batch.graph, trip, lab, k
+            params, bstats, opt_state, batch_graph, trip, lab, k
         )
     loss.block_until_ready()
     dt = time.perf_counter() - t0

@@ -153,7 +153,8 @@ class LPNetwork(nn.Module):
     num_base_r: int
     dropout_cell: float = 0.3
     drop_aggr: float = 0.1
-    drop_op: float = 0.0
+    # (the reference's --drop_op is a no-op: the dropout result is
+    # discarded at model_lp.py:34 — deliberately not carried over)
     score_args: dict | None = None
 
     def setup(self):
@@ -268,7 +269,41 @@ def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def bce_probs_loss(probs, labels, eps: float = 1e-7):
-    """torch.nn.BCELoss over probabilities (train/mr_lp_train.py:116,235)."""
+def bce_probs_loss(probs, labels, row_mask=None, eps: float = 1e-7):
+    """torch.nn.BCELoss over probabilities (train/mr_lp_train.py:116,235).
+
+    ``row_mask`` (0/1 per row) excludes padded rows from the mean exactly
+    — matching the reference, whose final batch is simply smaller.
+    """
     p = jnp.clip(probs, eps, 1.0 - eps)
-    return -jnp.mean(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    ll = labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p)
+    if row_mask is None:
+        return -jnp.mean(ll)
+    m = row_mask[:, None]
+    denom = jnp.maximum(jnp.sum(m) * probs.shape[-1], 1.0)
+    return -jnp.sum(ll * m) / denom
+
+
+def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):
+    """gamma - ||(s + r) - o||_1 per triplet — the triplet form of
+    sf_TransE (operations_lp.py:101-112)."""
+    s = jnp.take(ent_emb, triplets[:, 0], axis=0)
+    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
+    o = jnp.take(ent_emb, triplets[:, 2], axis=0)
+    return gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
+
+
+def mixed_triplet_score(ent_emb, rel_embed, triplets, sf_weights, gamma: float = 40.0):
+    """Softmax-weighted mixture of triplet score functions (SF_OPS order:
+    TransE, DistMult) — gives ``alphas['final']`` a gradient in the search
+    loss, exceeding the reference where Cell_SF is allocated but unused
+    (model_search_lp.py:160-161)."""
+    te = transe_triplet_score(ent_emb, rel_embed, triplets, gamma)
+    dm = distmult_triplet_score(ent_emb, rel_embed, triplets)
+    return sf_weights[0] * te + sf_weights[1] * dm
+
+
+def lp_search_loss_sf(ent_emb, rel_embed, triplets, labels, sf_weights, gamma=40.0):
+    """BCE-with-logits over the mixed score-function logits."""
+    logits = mixed_triplet_score(ent_emb, rel_embed, triplets, sf_weights, gamma)
+    return jnp.mean(optax_sigmoid_bce(logits, labels))

@@ -55,7 +55,6 @@ class SearchMixin:
     hvp_mode: str = "fd"  # 'fd' (reference) | 'exact'
     warm_epochs: int = 10
     max_patience: int = 500
-    save_freq: int = 5
 
 
 @dataclasses.dataclass
@@ -82,6 +81,10 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     eval_every: int = 0  # >0: in-search filtered-MRR eval on the full
     # test graph every N epochs (the reference's disabled infer_graph,
     # search/mr_lp_search.py:150-167,258-278)
+    search_score_fn: bool = False  # put the score-function mixture into
+    # the search loss so alphas['final'] gets a gradient and the decoded
+    # genotype carries a searched score_func — exceeds the reference,
+    # which allocates Cell_SF but never uses it (model_search_lp.py:160)
 
 
 @dataclasses.dataclass
@@ -102,7 +105,8 @@ class LPTrainConfig(BaseConfig):
     optimizer: str = "adam"
     lbl_smooth: float = 0.1
     dropout_cell: float = 0.3
-    drop_op: float = 0.0
+    # (--drop_op deliberately absent: it is a no-op in the reference,
+    # model_lp.py:34 discards the dropout result)
     drop_aggr: float = 0.1
     gamma: float = 40.0
     # ConvE head (train/mr_lp_train.py:383-390)

@@ -24,7 +24,7 @@ from mr_gnas_tpu.data import (
 )
 from mr_gnas_tpu.graph.build import round_up
 from mr_gnas_tpu.models import LPSupernet, lp_search_loss
-from mr_gnas_tpu.nas import first_order_step, make_arch_optimizer, sgd_momentum_buffer, unrolled_step
+from mr_gnas_tpu.nas import make_arch_optimizer, sgd_momentum_buffer, unrolled_step
 from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mr_gnas_tpu.train.config import LPSearchConfig
 from mr_gnas_tpu.train.eval import calc_mrr
@@ -44,7 +44,6 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
     rng = np.random.default_rng(cfg.seed)
-    key = jax.random.key(cfg.seed)
 
     kg = load_dataset(cfg.dataset, cfg.data_root)
     adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
@@ -56,7 +55,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         min(2 * cfg.graph_batch_size_val, kg.num_ent), 64
     )
 
-    def sample(data, bs, adj, deg, pad):
+    def sample(data, bs, adj, deg, pad, rng):
         return generate_sampled_graph_and_labels(
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
@@ -82,19 +81,10 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         drop_aggr=cfg.drop_aggr,
         compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
     )
-    alphas = init_alphas(key, spec, cfg.layers, with_final=True)
-    batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
+    alphas = init_alphas(jax.random.key(cfg.seed), spec, cfg.layers, with_final=True)
+    batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, rng)
     variables = model.init(jax.random.key(cfg.seed + 1), batch0.graph, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
-    if cfg.checkpoint:
-        state, meta = load_checkpoint(
-            cfg.checkpoint,
-            {"params": params, "batch_stats": bstats, "alphas": alphas},
-        )
-        params, bstats, alphas = state["params"], state["batch_stats"], state["alphas"]
-        log.info("resumed search state from %s (epoch %s)",
-                 cfg.checkpoint, (meta or {}).get("epoch"))
-    log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     lr_schedule = optax.cosine_decay_schedule(
         cfg.learning_rate, cfg.epochs, alpha=cfg.learning_rate_min / cfg.learning_rate
@@ -108,6 +98,29 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     a_tx = make_arch_optimizer(cfg.arch_learning_rate, cfg.arch_weight_decay)
     a_opt = a_tx.init(alphas)
 
+    start_epoch = 0
+    if cfg.checkpoint:
+        # exact resume: weights, BN stats, alphas AND both optimizer
+        # states (incl. the cosine-schedule step inside w_opt)
+        state, meta = load_checkpoint(
+            cfg.checkpoint,
+            {"params": params, "batch_stats": bstats, "alphas": alphas,
+             "w_opt": w_opt, "a_opt": a_opt},
+        )
+        params, bstats, alphas = state["params"], state["batch_stats"], state["alphas"]
+        w_opt, a_opt = state["w_opt"], state["a_opt"]
+        start_epoch = (meta or {}).get("epoch", -1) + 1
+        log.info("resuming search at epoch %s from %s", start_epoch, cfg.checkpoint)
+    log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
+
+    def score_loss(e, r, alphas, trip, lab):
+        if cfg.search_score_fn:
+            from mr_gnas_tpu.models.lp import lp_search_loss_sf
+
+            sf_w = jax.nn.softmax(alphas["final"][0])
+            return lp_search_loss_sf(e, r, trip, lab, sf_w, cfg.gamma)
+        return lp_search_loss(e, r, trip, lab)
+
     def loss_fn(params, bstats, alphas, graph, trip, lab, dkey, training=True):
         out = model.apply(
             {"params": params, "batch_stats": bstats},
@@ -117,17 +130,20 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         )
         if training:
             (e, r), mut = out
-            return lp_search_loss(e, r, trip, lab), mut["batch_stats"]
+            return score_loss(e, r, alphas, trip, lab), mut["batch_stats"]
         e, r = out
-        return lp_search_loss(e, r, trip, lab), bstats
+        return score_loss(e, r, alphas, trip, lab), bstats
 
     @jax.jit
     def arch_step_first(params, bstats, alphas, a_opt, graph, trip, lab, dkey):
-        def vloss(p, a):
-            l, _ = loss_fn(p, bstats, a, graph, trip, lab, dkey)
-            return l
+        # the val forward advances BN running stats, as the torch modules
+        # do during the reference's architect backward (architect_lp.py:49)
+        def vloss(a):
+            return loss_fn(params, bstats, a, graph, trip, lab, dkey)
 
-        return first_order_step(a_tx, a_opt, alphas, params, vloss)
+        (loss, new_bs), grads = jax.value_and_grad(vloss, has_aux=True)(alphas)
+        updates, a_opt = a_tx.update(grads, a_opt, alphas)
+        return optax.apply_updates(alphas, updates), a_opt, new_bs, loss
 
     @jax.jit
     def arch_step_unrolled(
@@ -166,15 +182,28 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
 
         test_graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
 
-    best_geno = genotypes_to_json(decode_genotypes(jax.device_get(alphas), spec, cfg.layers))
+    def decoded():
+        genos = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+        if cfg.search_score_fn:
+            import dataclasses
+
+            from mr_gnas_tpu.ops.registry import SF_OPS
+
+            sf = SF_OPS[int(np.argmax(np.asarray(alphas["final"][0])))]
+            genos[-1] = dataclasses.replace(genos[-1], score_func=sf)
+        return genos
+
+    best_geno = genotypes_to_json(decoded())
     patience = 0
     thr = Throughput()
     n_steps = max_steps or cfg.epochs
     arch_loss = jnp.zeros(())
-    for epoch in range(n_steps):
-        batch = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad)
-        batch_val = sample(kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val)
-        key, k1, k2 = jax.random.split(key, 3)
+    for epoch in range(start_epoch, n_steps):
+        # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
+        ep_rng = np.random.default_rng([cfg.seed, epoch])
+        k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
+        batch = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, ep_rng)
+        batch_val = sample(kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val, ep_rng)
         trip = jnp.asarray(batch.triplets)
         lab = jnp.asarray(batch.labels)
         trip_v = jnp.asarray(batch_val.triplets)
@@ -189,7 +218,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
                     k1, lr_schedule(epoch), sgd_momentum_buffer(w_opt),
                 )
             else:
-                alphas, a_opt, arch_loss = arch_step_first(
+                alphas, a_opt, bstats, arch_loss = arch_step_first(
                     params, bstats, alphas, a_opt, batch_val.graph, trip_v, lab_v, k1
                 )
 
@@ -226,9 +255,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             scalars.log(epoch, test_mrr=mrr, test_hits10=hit_k[2])
 
         if epoch >= cfg.warm_epochs:
-            genotypes = genotypes_to_json(
-                decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
-            )
+            genotypes = genotypes_to_json(decoded())
             if genotypes == best_geno:
                 patience += 1
             else:
@@ -241,15 +268,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         if epoch % cfg.save_model_freq == 0 and epoch > 0:
             save_checkpoint(
                 os.path.join(run_dir, "search_state.msgpack"),
-                {"params": params, "batch_stats": bstats, "alphas": alphas},
+                {"params": params, "batch_stats": bstats, "alphas": alphas,
+                 "w_opt": w_opt, "a_opt": a_opt},
                 {"epoch": epoch, "genotypes": best_geno},
             )
 
-    genotypes = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+    genotypes = decoded()
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),
-        {"params": params, "batch_stats": bstats, "alphas": alphas},
-        {"epoch": n_steps, "genotypes": genotypes_to_json(genotypes)},
+        {"params": params, "batch_stats": bstats, "alphas": alphas,
+         "w_opt": w_opt, "a_opt": a_opt},
+        {"epoch": n_steps - 1, "genotypes": genotypes_to_json(genotypes)},
     )
     with open(os.path.join(run_dir, "genotypes.json"), "w") as f:
         f.write(genotypes_to_json(genotypes))

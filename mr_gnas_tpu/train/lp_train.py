@@ -51,7 +51,6 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     scalars = ScalarLogger(run_dir)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
-    rng = np.random.default_rng(cfg.seed)
 
     kg = load_dataset(cfg.dataset, cfg.data_root)
     triplets = process(
@@ -79,9 +78,18 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     epochs = max_epochs or cfg.epochs
-    lr_schedule = optax.cosine_decay_schedule(
+    # CosineAnnealingLR(T_max=epochs) stepped per EPOCH, as in the
+    # reference (train/mr_lp_train.py:144,253): piecewise-constant within
+    # an epoch. The optimizer count ticks per batch, so divide it down.
+    steps_per_epoch = max(
+        -(-len(triplets["train"]) // cfg.batch_size), 1
+    )
+    epoch_cos = optax.cosine_decay_schedule(
         cfg.learning_rate, epochs, alpha=cfg.learning_rate_min / cfg.learning_rate
     )
+
+    def lr_schedule(count):
+        return epoch_cos(count // steps_per_epoch)
     if cfg.optimizer.lower() == "sgd":
         tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
@@ -96,12 +104,17 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
 
     start_epoch = 0
     if cfg.checkpoint:
+        # exact resume: params + BN stats + optimizer state (momentum /
+        # Adam moments AND the cosine-schedule step count live in
+        # opt_state, so the LR schedule continues where it left off)
         state, meta = load_checkpoint(
-            cfg.checkpoint, {"params": params, "batch_stats": bstats}
+            cfg.checkpoint,
+            {"params": params, "batch_stats": bstats, "opt_state": opt_state},
         )
         params, bstats = state["params"], state["batch_stats"]
-        start_epoch = (meta or {}).get("epoch", 0)
-        log.info("loaded checkpoint from epoch %s", start_epoch)
+        opt_state = state["opt_state"]
+        start_epoch = (meta or {}).get("epoch", -1) + 1
+        log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
     col_mask = graph.node_mask  # all-ones here (exact-size graph)
 
@@ -113,8 +126,9 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 graph, subj, rel, True,
                 mutable=["batch_stats"], rngs={"dropout": dkey},
             )
-            # row-masked BCE (padded final batch rows contribute 0)
-            l = bce_probs_loss(probs * row_mask[:, None], labels * row_mask[:, None])
+            # mask-weighted BCE: padded final-batch rows are excluded from
+            # the mean exactly (the reference's final batch is just smaller)
+            l = bce_probs_loss(probs, labels, row_mask)
             return l, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -157,12 +171,15 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         )
         return res, loss
 
-    key = jax.random.key(cfg.seed + 7)
     best = {"mrr": 0.0, "epoch": -1, "hits@10": 0.0, "hits@1": 0.0}
     thr = Throughput()
     n_edges = int(np.asarray(graph.row_mask).sum())
     final_test = {}
     for epoch in range(start_epoch, epochs):
+        # per-epoch derived RNG: shuffles and dropout depend only on
+        # (seed, epoch, step), so a resumed run continues bit-exactly
+        rng = np.random.default_rng([cfg.seed, epoch])
+        key = jax.random.fold_in(jax.random.key(cfg.seed + 7), epoch)
         train_loss = 0.0
         for step, (trip, labels, mask) in enumerate(
             iterate_batches(
@@ -170,7 +187,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 smooth=cfg.lbl_smooth, shuffle=True, rng=rng,
             )
         ):
-            key, dkey = jax.random.split(key)
+            dkey = jax.random.fold_in(key, step)
             params, bstats, opt_state, loss = train_step(
                 params, bstats, opt_state, graph,
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
@@ -196,13 +213,13 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             best.update(mrr=test_res["mrr"], epoch=epoch)
             save_checkpoint(
                 os.path.join(run_dir, "model_best_mrr.msgpack"),
-                {"params": params, "batch_stats": bstats},
+                {"params": params, "batch_stats": bstats, "opt_state": opt_state},
                 {"epoch": epoch, "mrr": best["mrr"]},
             )
         if epoch % cfg.save_model_freq == 0 and epoch > 1:
             save_checkpoint(
                 os.path.join(run_dir, f"model_{epoch}.msgpack"),
-                {"params": params, "batch_stats": bstats},
+                {"params": params, "batch_stats": bstats, "opt_state": opt_state},
                 {"epoch": epoch},
             )
 

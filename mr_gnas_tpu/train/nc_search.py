@@ -17,8 +17,8 @@ import optax
 from mr_gnas_tpu.cells import CellSpec, decode_genotypes, genotypes_to_json, init_alphas
 from mr_gnas_tpu.data import CSRGraph, build_blocks, iterate_seed_batches, load_nc_dataset
 from mr_gnas_tpu.models import NCSupernet, nc_accuracy, nc_loss
-from mr_gnas_tpu.nas import first_order_step, make_arch_optimizer, sgd_momentum_buffer, unrolled_step
-from mr_gnas_tpu.train.checkpoint import save_checkpoint
+from mr_gnas_tpu.nas import make_arch_optimizer, sgd_momentum_buffer, unrolled_step
+from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mr_gnas_tpu.train.config import NCSearchConfig
 from mr_gnas_tpu.train.metrics import (
     ScalarLogger,
@@ -35,7 +35,6 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     scalars = ScalarLogger(run_dir)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
 
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
@@ -75,6 +74,18 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     a_tx = make_arch_optimizer(cfg.arch_learning_rate, cfg.arch_weight_decay)
     a_opt = a_tx.init(alphas)
 
+    start_epoch = 0
+    if cfg.checkpoint:
+        state, meta = load_checkpoint(
+            cfg.checkpoint,
+            {"params": params, "batch_stats": bstats, "alphas": alphas,
+             "w_opt": w_opt, "a_opt": a_opt},
+        )
+        params, bstats, alphas = state["params"], state["batch_stats"], state["alphas"]
+        w_opt, a_opt = state["w_opt"], state["a_opt"]
+        start_epoch = (meta or {}).get("epoch", -1) + 1
+        log.info("resuming search at epoch %s from %s", start_epoch, cfg.checkpoint)
+
     def loss_of(params, bstats, alphas, blocks, seed_pos, labels, mask, dkey):
         logits, mut = model.apply(
             {"params": params, "batch_stats": bstats},
@@ -85,11 +96,14 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
 
     @jax.jit
     def arch_step_first(params, bstats, alphas, a_opt, blocks, seed_pos, labels, mask, dkey):
-        def vloss(p, a):
-            l, _ = loss_of(p, bstats, a, blocks, seed_pos, labels, mask, dkey)
-            return l
+        # the val forward advances BN running stats, as the torch modules
+        # do during the reference's architect backward (architect.py:44-46)
+        def vloss(a):
+            return loss_of(params, bstats, a, blocks, seed_pos, labels, mask, dkey)
 
-        return first_order_step(a_tx, a_opt, alphas, params, vloss)
+        (loss, new_bs), grads = jax.value_and_grad(vloss, has_aux=True)(alphas)
+        updates, a_opt = a_tx.update(grads, a_opt, alphas)
+        return optax.apply_updates(alphas, updates), a_opt, new_bs, loss
 
     @jax.jit
     def arch_step_unrolled(
@@ -152,7 +166,10 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     steps_total = 0
     n_epochs = max_steps or cfg.epochs
     arch_loss = jnp.zeros(())
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
+        # per-epoch derived RNG -> bit-exact resume
+        rng = np.random.default_rng([cfg.seed, epoch])
+        key = jax.random.fold_in(jax.random.key(cfg.seed), epoch)
         for idx_b, mask in iterate_seed_batches(train_idx, cfg.batch_size, True, rng):
             blocks, sp, labels, m = batch_inputs(idx_b, mask)
             # fresh val batch per step (search/mr_nc_search.py:167)
@@ -170,7 +187,7 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
                         k1, sgd_momentum_buffer(w_opt),
                     )
                 else:
-                    alphas, a_opt, arch_loss = arch_step_first(
+                    alphas, a_opt, bstats, arch_loss = arch_step_first(
                         params, bstats, alphas, a_opt, blocks_v, sp_v, labels_v, m_v, k1
                     )
             params, bstats, w_opt, loss = weight_step(
@@ -207,8 +224,9 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     genotypes = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),
-        {"params": params, "batch_stats": bstats, "alphas": alphas},
-        {"genotypes": genotypes_to_json(genotypes)},
+        {"params": params, "batch_stats": bstats, "alphas": alphas,
+         "w_opt": w_opt, "a_opt": a_opt},
+        {"epoch": n_epochs - 1, "genotypes": genotypes_to_json(genotypes)},
     )
     with open(os.path.join(run_dir, "genotypes.json"), "w") as f:
         f.write(genotypes_to_json(genotypes))

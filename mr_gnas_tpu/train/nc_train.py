@@ -35,7 +35,6 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
     scalars = ScalarLogger(run_dir)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed)
 
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
@@ -72,9 +71,16 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
 
+    start_epoch = 0
     if cfg.checkpoint:
-        state, _ = load_checkpoint(cfg.checkpoint, {"params": params, "batch_stats": bstats})
+        state, meta = load_checkpoint(
+            cfg.checkpoint,
+            {"params": params, "batch_stats": bstats, "opt_state": opt_state},
+        )
         params, bstats = state["params"], state["batch_stats"]
+        opt_state = state["opt_state"]
+        start_epoch = (meta or {}).get("epoch", -1) + 1
+        log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
     @jax.jit
     def train_step(params, bstats, opt_state, blocks, seed_pos, labels, mask, dkey):
@@ -115,12 +121,17 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
     best = {"test_acc": 0.0, "epoch": -1}
     thr = Throughput()
     epochs = max_epochs or cfg.epochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
+        # per-epoch derived RNG -> bit-exact resume
+        rng = np.random.default_rng([cfg.seed, epoch])
+        key = jax.random.fold_in(jax.random.key(cfg.seed), epoch)
         losses = []
-        for idx_b, mask in iterate_seed_batches(ds.train_idx, cfg.batch_size, True, rng):
+        for step, (idx_b, mask) in enumerate(
+            iterate_seed_batches(ds.train_idx, cfg.batch_size, True, rng)
+        ):
             seeds = ds.target_ids[idx_b]
             blocks, sp = build_blocks(csr, seeds, layers)
-            key, dkey = jax.random.split(key)
+            dkey = jax.random.fold_in(key, step)
             params, bstats, opt_state, loss = train_step(
                 params, bstats, opt_state, blocks, jnp.asarray(sp),
                 jnp.asarray(ds.labels[idx_b]), jnp.asarray(mask), dkey,
@@ -143,7 +154,7 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
                 best.update(test_acc=micro, epoch=epoch)
                 save_checkpoint(
                     os.path.join(run_dir, "model_best.msgpack"),
-                    {"params": params, "batch_stats": bstats},
+                    {"params": params, "batch_stats": bstats, "opt_state": opt_state},
                     {"epoch": epoch, "test_acc": micro},
                 )
 

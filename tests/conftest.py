@@ -24,6 +24,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: driver/e2e tests taking minutes; deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

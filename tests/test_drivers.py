@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mr_gnas_tpu.train import (
     LPSearchConfig,
     LPTrainConfig,
@@ -44,12 +46,85 @@ def test_lp_search_driver(tmp_path):
         log_every=2,
         epochs=6,
         layers=1,
+        eval_every=3,  # exercise the in-search filtered-MRR path
     )
     out = run_lp_search(cfg)
     assert len(out["genotypes"]) == 1
     assert os.path.exists(os.path.join(out["run_dir"], "genotypes.json"))
     assert os.path.exists(os.path.join(out["run_dir"], "search_state.msgpack"))
     assert np.isfinite(out["last_loss"])
+    # the in-search eval logged a test_mrr scalar
+    with open(os.path.join(out["run_dir"], "scalars.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert any("test_mrr" in r for r in recs)
+
+
+def test_lp_search_resume_exact(tmp_path):
+    """Interrupted search continues bit-exactly: run 4 epochs straight vs
+    2 epochs + resume for 2 more — identical final loss and genotypes."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=30,
+        graph_batch_size_val=16,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=4,
+        layers=1,
+        max_patience=99,
+    )
+    out_full = run_lp_search(LPSearchConfig(save_dir=str(tmp_path / "full"), **base))
+
+    out_half = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "half"), **base), max_steps=2
+    )
+    ckpt = os.path.join(out_half["run_dir"], "search_state.msgpack")
+    out_res = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "res"), checkpoint=ckpt, **base)
+    )
+    assert out_res["last_loss"] == out_full["last_loss"]
+    assert [g.to_reference_str() for g in out_res["genotypes"]] == [
+        g.to_reference_str() for g in out_full["genotypes"]
+    ]
+
+
+def test_lp_search_score_fn_searched_and_retrains(tmp_path):
+    """--search-score-fn puts the score mixture into the loss; the decoded
+    genotype carries a searched (non-None) score_func that retrains."""
+    from mr_gnas_tpu.cells import genotypes_to_json
+    from mr_gnas_tpu.ops.registry import SF_OPS
+
+    cfg = LPSearchConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=30,
+        graph_batch_size_val=16,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=4,
+        layers=1,
+        search_score_fn=True,
+    )
+    out = run_lp_search(cfg)
+    sf = out["genotypes"][-1].score_func
+    assert sf in SF_OPS
+    tcfg = LPTrainConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=1,
+        genotype=genotypes_to_json(out["genotypes"]),
+    )
+    tout = run_lp_train(tcfg)
+    assert 0.0 <= tout["test"]["mrr"] <= 1.0
 
 
 def test_lp_search_driver_unrolled(tmp_path):
@@ -115,6 +190,47 @@ def test_lp_train_resume(tmp_path):
     cfg2 = cfg.replace(checkpoint=ckpt, epochs=2)
     out2 = run_lp_train(cfg2)
     assert out2["best"]["mrr"] >= 0.0
+
+
+def test_lp_train_resume_exact(tmp_path):
+    """Exact resume: 2 epochs straight == 1 epoch + resume, comparing the
+    epoch-1 train loss and eval metrics bitwise (opt state + LR schedule
+    + per-epoch RNG all continue)."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=8,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        genotype=GENO_LP,
+    )
+
+    def epoch_scalars(run_dir, epoch):
+        with open(os.path.join(run_dir, "scalars.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        merged = {}
+        for r in recs:
+            if r.get("step") == epoch:
+                merged.update(r)
+        return merged
+
+    out_full = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "full"), epochs=2, **base)
+    )
+    out_half = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "half"), epochs=2, **base),
+        max_epochs=1,
+    )
+    # resume from the periodic/best checkpoint of epoch 0
+    ckpt = os.path.join(out_half["run_dir"], "model_best_mrr.msgpack")
+    assert os.path.exists(ckpt)
+    out_res = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "res"), epochs=2, checkpoint=ckpt, **base)
+    )
+    a = epoch_scalars(out_full["run_dir"], 1)
+    b = epoch_scalars(out_res["run_dir"], 1)
+    for k in ("train_loss", "val_mrr", "test_mrr"):
+        assert a[k] == b[k], (k, a[k], b[k])
 
 
 def test_nc_search_driver(tmp_path):

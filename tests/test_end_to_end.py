@@ -6,6 +6,10 @@ through JSON genotype artifacts instead of log-scraped strings.
 import json
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from mr_gnas_tpu.cells import genotypes_to_json
 from mr_gnas_tpu.train import (
     LPSearchConfig,
