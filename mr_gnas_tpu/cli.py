@@ -60,14 +60,25 @@ def _add_flags(parser: argparse.ArgumentParser, cfg_cls):
         default = f.default
         if isinstance(default, dataclasses._MISSING_TYPE):
             default = None
-        if isinstance(default, bool):
+        if f.name == "mesh_shape":
+            parser.add_argument(
+                name, default=default, metavar="N[,M...]",
+                type=lambda s: tuple(int(x) for x in s.split(",")),
+                help="device mesh shape, e.g. 8,1 (data, model axes)",
+            )
+        elif f.name == "mesh_axes":
+            parser.add_argument(
+                name, default=default, metavar="AXES",
+                type=lambda s: tuple(s.split(",")),
+                help="mesh axis names, e.g. data,model",
+            )
+        elif isinstance(default, bool):
             parser.add_argument(
                 name, type=lambda s: s.lower() in ("1", "true", "yes"),
                 default=default, metavar="BOOL",
             )
         elif isinstance(default, (int, float, str)) or default is None:
             parser.add_argument(name, type=type(default) if default is not None else str, default=default)
-        # tuple-typed fields (mesh_shape) are settable in code, not CLI
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -123,6 +123,7 @@ def generate_sampled_graph_and_labels(
     sampler: str = "uniform",
     rng: np.random.Generator | None = None,
     n_nodes_pad: int | None = None,
+    n_fwd_pad: int | None = None,
 ) -> SampledBatch:
     """Sample edges, relabel compactly, negative-sample, split graph-vs-
     supervision halves, and build the padded training RelGraph
@@ -155,7 +156,7 @@ def generate_sampled_graph_and_labels(
         np.stack([g_src, g_rel, g_dst]).T,
         num_nodes=len(uniq_v),
         num_rels=num_rels,
-        n_fwd_pad=n_graph,
+        n_fwd_pad=n_fwd_pad or n_graph,
         n_nodes_pad=n_nodes_pad,
         global_ids=uniq_v,
     )

@@ -36,6 +36,10 @@ def make_mesh(
     devices = np.asarray(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
+    if len(axes) > len(shape):  # e.g. shape (8,) with axes (data, model)
+        axes = tuple(axes)[: len(shape)]
+    elif len(axes) < len(shape):
+        raise ValueError(f"mesh shape {shape} has more dims than axes {axes}")
     return Mesh(devices.reshape(shape), axes)
 
 

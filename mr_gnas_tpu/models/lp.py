@@ -269,19 +269,21 @@ def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def bce_probs_loss(probs, labels, row_mask=None, eps: float = 1e-7):
+def bce_probs_loss(probs, labels, row_mask=None, col_mask=None, eps: float = 1e-7):
     """torch.nn.BCELoss over probabilities (train/mr_lp_train.py:116,235).
 
-    ``row_mask`` (0/1 per row) excludes padded rows from the mean exactly
-    — matching the reference, whose final batch is simply smaller.
+    ``row_mask`` (0/1 per row) excludes padded batch rows and ``col_mask``
+    (0/1 per entity column) excludes padded entity columns from the mean
+    exactly — matching the reference, whose tensors are unpadded.
     """
     p = jnp.clip(probs, eps, 1.0 - eps)
     ll = labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p)
-    if row_mask is None:
+    if row_mask is None and col_mask is None:
         return -jnp.mean(ll)
-    m = row_mask[:, None]
-    denom = jnp.maximum(jnp.sum(m) * probs.shape[-1], 1.0)
-    return -jnp.sum(ll * m) / denom
+    rm = jnp.ones(probs.shape[0]) if row_mask is None else row_mask
+    cm = jnp.ones(probs.shape[1]) if col_mask is None else col_mask
+    m = rm[:, None] * cm[None, :]
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(rm) * jnp.sum(cm), 1.0)
 
 
 def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):

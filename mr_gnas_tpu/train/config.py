@@ -32,9 +32,10 @@ class BaseConfig:
     grad_norm: float = 5.0
     checkpoint: str = ""
     save_model_freq: int = 300
-    # distribution
-    mesh_shape: tuple[int, ...] | None = None  # e.g. (8,) data-parallel
-    mesh_axes: tuple[str, ...] = ("data",)
+    # distribution: e.g. (8,) = 8-way edge/data parallel, (4, 2) =
+    # 4-way data x 2-way model (entity-table) parallel
+    mesh_shape: tuple[int, ...] | None = None
+    mesh_axes: tuple[str, ...] = ("data", "model")  # trimmed to len(shape)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -45,6 +45,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         f.write(cfg.to_json())
     rng = np.random.default_rng(cfg.seed)
 
+    # distribution: cfg.mesh_shape -> named mesh; graph edge rows shard
+    # over the 'data' axis, the entity table over 'model' (SURVEY §2.9)
+    mesh = None
+    data_n = 1
+    if cfg.mesh_shape:
+        from mr_gnas_tpu.dist import make_mesh, replicate, shard_graph
+
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        data_n = mesh.shape.get("data", 1)
+        log.info("mesh: %s", dict(mesh.shape))
+
     kg = load_dataset(cfg.dataset, cfg.data_root)
     adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
     adj_v, deg_v = get_adj_and_degrees(kg.num_ent, kg.valid)
@@ -54,12 +65,20 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     n_nodes_pad_val = cfg.n_nodes_pad or round_up(
         min(2 * cfg.graph_batch_size_val, kg.num_ent), 64
     )
+    n_nodes_pad = round_up(n_nodes_pad, 2 * data_n)
+    n_nodes_pad_val = round_up(n_nodes_pad_val, 2 * data_n)
 
     def sample(data, bs, adj, deg, pad, rng):
-        return generate_sampled_graph_and_labels(
+        batch = generate_sampled_graph_and_labels(
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
+            n_fwd_pad=round_up(int(bs * cfg.graph_split_size), data_n),
         )
+        if mesh is not None:
+            import dataclasses
+
+            batch = dataclasses.replace(batch, graph=shard_graph(batch.graph, mesh))
+        return batch
 
     spec = CellSpec(
         task="lp",
@@ -85,6 +104,11 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, rng)
     variables = model.init(jax.random.key(cfg.seed + 1), batch0.graph, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
+    if mesh is not None:
+        # replicate model state across the mesh; XLA's SPMD partitioner
+        # turns the per-shard segment reductions into local reduce +
+        # cross-shard collectives (tests/test_dist.py proves equality)
+        params, bstats, alphas = replicate((params, bstats, alphas), mesh)
 
     lr_schedule = optax.cosine_decay_schedule(
         cfg.learning_rate, cfg.epochs, alpha=cfg.learning_rate_min / cfg.learning_rate

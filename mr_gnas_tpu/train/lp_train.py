@@ -52,12 +52,25 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    # distribution (SURVEY §2.9): edge rows shard over 'data', the entity
+    # table over 'model'; the train/eval steps are sharding-transparent
+    mesh = None
+    data_n = 1
+    if cfg.mesh_shape:
+        from mr_gnas_tpu.dist import make_mesh, replicate, shard_entity_table, shard_graph
+
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        data_n = mesh.shape.get("data", 1)
+        log.info("mesh: %s", dict(mesh.shape))
+
     kg = load_dataset(cfg.dataset, cfg.data_root)
     triplets = process(
         {"train": kg.train, "valid": kg.valid, "test": kg.test}, kg.num_rels
     )
-    # full train graph — exact static size, no padding needed
-    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    # full train graph — exact static size unless sharding needs pads
+    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels, pad_multiple=data_n)
+    if mesh is not None:
+        graph = shard_graph(graph, mesh)
     genotypes = parse_genotypes(cfg.genotype)
     log.info("genotypes: %s", [g.to_reference_str() for g in genotypes])
 
@@ -75,6 +88,12 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     subj0 = jnp.zeros((cfg.batch_size,), jnp.int32)
     variables = model.init(jax.random.key(cfg.seed), graph, subj0, subj0, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
+    if mesh is not None:
+        bstats = replicate(bstats, mesh)
+        if mesh.shape.get("model", 1) > 1 and kg.num_ent % mesh.shape["model"] == 0:
+            params = shard_entity_table(params, mesh)
+        else:
+            params = replicate(params, mesh)
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     epochs = max_epochs or cfg.epochs
@@ -116,7 +135,14 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         start_epoch = (meta or {}).get("epoch", -1) + 1
         log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
-    col_mask = graph.node_mask  # all-ones here (exact-size graph)
+    col_mask = graph.node_mask  # excludes padded entity columns
+    n_col_pad = graph.n_nodes - kg.num_ent
+
+    def pad_cols(labels):
+        """Zero-pad label columns to the (possibly padded) entity count."""
+        if n_col_pad == 0:
+            return labels
+        return np.pad(labels, ((0, 0), (0, n_col_pad)))
 
     @jax.jit
     def train_step(params, bstats, opt_state, graph, subj, rel, labels, row_mask, dkey):
@@ -126,9 +152,10 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 graph, subj, rel, True,
                 mutable=["batch_stats"], rngs={"dropout": dkey},
             )
-            # mask-weighted BCE: padded final-batch rows are excluded from
-            # the mean exactly (the reference's final batch is just smaller)
-            l = bce_probs_loss(probs, labels, row_mask)
+            # mask-weighted BCE: padded final-batch rows and padded entity
+            # columns are excluded from the mean exactly (the reference's
+            # tensors are unpadded)
+            l = bce_probs_loss(probs, labels, row_mask, col_mask)
             return l, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -140,7 +167,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         probs = model.apply(
             {"params": params, "batch_stats": bstats}, graph, subj, rel, False
         )
-        loss = bce_probs_loss(probs, labels)
+        loss = bce_probs_loss(probs, labels, None, col_mask)
         ranks = filtered_ranks(probs, labels, obj, col_mask)
         return ranks, loss
 
@@ -152,7 +179,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             ranks, loss = eval_step(
                 params, bstats, graph,
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-                jnp.asarray(trip[:, 2]), jnp.asarray(labels),
+                jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)),
             )
             n_real = int(mask.sum())
             results = accumulate_rank_results(np.asarray(ranks)[:n_real], results)
@@ -191,7 +218,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             params, bstats, opt_state, loss = train_step(
                 params, bstats, opt_state, graph,
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-                jnp.asarray(labels), jnp.asarray(mask), dkey,
+                jnp.asarray(pad_cols(labels)), jnp.asarray(mask), dkey,
             )
             train_loss += float(loss)
             thr.step(n_edges)

@@ -233,6 +233,51 @@ def test_lp_train_resume_exact(tmp_path):
         assert a[k] == b[k], (k, a[k], b[k])
 
 
+def test_lp_search_driver_mesh(tmp_path):
+    """The flagship driver honors cfg.mesh_shape: 8-way edge-parallel run
+    on the virtual device mesh matches the single-device run's loss."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=32,
+        graph_batch_size_val=16,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=3,
+        layers=1,
+    )
+    out1 = run_lp_search(LPSearchConfig(save_dir=str(tmp_path / "s1"), **base))
+    out8 = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "s8"), mesh_shape=(8,), **base)
+    )
+    np.testing.assert_allclose(out8["last_loss"], out1["last_loss"], rtol=1e-4)
+    out42 = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "s42"), mesh_shape=(4, 2), **base)
+    )
+    np.testing.assert_allclose(out42["last_loss"], out1["last_loss"], rtol=1e-4)
+
+
+def test_lp_train_driver_mesh(tmp_path):
+    """lp-train with a (4,2) data x model mesh: padded entity columns +
+    sharded graph produce the same loss/MRR as single-device."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=1,
+        genotype=GENO_LP,
+    )
+    out1 = run_lp_train(LPTrainConfig(save_dir=str(tmp_path / "t1"), **base))
+    out8 = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "t8"), mesh_shape=(4, 2), **base)
+    )
+    np.testing.assert_allclose(out8["test"]["mrr"], out1["test"]["mrr"], rtol=1e-3)
+
+
 def test_nc_search_driver(tmp_path):
     cfg = NCSearchConfig(
         dataset="synthetic",
