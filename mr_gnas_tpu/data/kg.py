@@ -123,10 +123,104 @@ def synthetic_kg(
     )
 
 
+def minikg(
+    num_ent: int = 1500,
+    n_hubs: int = 48,
+    n_hub_rels: int = 8,
+    seed: int = 7,
+) -> KGDataset:
+    """Deterministic mini-KG with FB15k-237-like *relational structure*.
+
+    Unlike :func:`synthetic_kg` (whose anchor rule rewards plain
+    embedding lookup — round-1 NOTES.md), this fixture is built so that
+    graph structure carries signal:
+
+      * ``num_ent`` leaf entities belong to power-law-sized groups around
+        ``n_hubs`` hub entities (degree skew like FB15k-237's head
+        entities);
+      * r0 ``member_of``: leaf -> its hub;
+      * r1 ``same_group``: leaf <-> leaf within a group;
+      * r2..r(1+K) hub-level relations: K random hub->hub maps;
+      * r(2+K)..r(1+2K) composed relations: leaf -> hub reachable by
+        member_of ∘ hub-rel — a 2-hop compositional pattern.
+
+    The valid/test splits hold out composed triples (plus some member_of
+    edges), so ranking them rewards models that propagate evidence along
+    the graph; memorization scores near chance. All sizes/derivations are
+    seeded — the dataset is bit-reproducible with no data download
+    (zero-egress stand-in for the real benchmarks; the plain-file loader
+    remains the path for actual FB15k-237/WN18RR mounts).
+    """
+    rng = np.random.default_rng(seed)
+    hubs = np.arange(n_hubs)
+    leaves = np.arange(n_hubs, num_ent)
+    # power-law group sizes
+    w = 1.0 / np.arange(1, n_hubs + 1) ** 0.8
+    group = rng.choice(n_hubs, size=len(leaves), p=w / w.sum())
+
+    triples: list[tuple[int, int, int]] = []
+    # r0 member_of
+    for leaf, g in zip(leaves, group):
+        triples.append((int(leaf), 0, int(hubs[g])))
+    # r1 same_group: ~2 partners per leaf
+    for g in range(n_hubs):
+        members = leaves[group == g]
+        if len(members) < 2:
+            continue
+        for leaf in members:
+            partners = rng.choice(members, size=min(2, len(members) - 1), replace=False)
+            for p in partners:
+                if p != leaf:
+                    triples.append((int(leaf), 1, int(p)))
+    # hub-level relations r2..r(1+K): random hub maps
+    hub_maps = []
+    for k in range(n_hub_rels):
+        perm = rng.permutation(n_hubs)
+        hub_maps.append(perm)
+        for h in range(n_hubs):
+            triples.append((int(hubs[h]), 2 + k, int(hubs[perm[h]])))
+    # composed relations r(2+K)..: leaf -> hub_maps[k][group(leaf)]
+    for k in range(n_hub_rels):
+        rid = 2 + n_hub_rels + k
+        for leaf, g in zip(leaves, group):
+            triples.append((int(leaf), rid, int(hubs[hub_maps[k][g]])))
+    # inverse-composed r(2+2K)..: hub' -> member leaves of its preimage
+    # hub (leaf-valued answers, so held-out objects are not all hubs and
+    # the fresh-BN degree-bias artifact cannot fake a good epoch-0 MRR)
+    for k in range(n_hub_rels):
+        rid = 2 + 2 * n_hub_rels + k
+        for leaf, g in zip(leaves, group):
+            triples.append((int(hubs[hub_maps[k][g]]), rid, int(leaf)))
+
+    t = np.asarray(sorted(set(triples)), dtype=np.int64)
+    rng.shuffle(t)
+    composed = t[:, 1] >= 2 + n_hub_rels
+    held = np.zeros(len(t), bool)
+    # hold out 15% of composed triples for valid/test
+    comp_idx = np.where(composed)[0]
+    held_idx = rng.choice(comp_idx, size=int(0.15 * len(comp_idx)), replace=False)
+    held[held_idx] = True
+    held_rows = t[held]
+    rng.shuffle(held_rows)
+    n_valid = len(held_rows) // 2
+    return KGDataset(
+        name="minikg",
+        num_ent=num_ent,
+        num_rels=2 + 3 * n_hub_rels,
+        train=t[~held],
+        valid=held_rows[:n_valid],
+        test=held_rows[n_valid:],
+    )
+
+
 def load_dataset(name_or_path: str, data_root: str = "data") -> KGDataset:
     """Resolve a dataset by name (under data_root) or explicit path."""
     if name_or_path == "synthetic":
         return synthetic_kg()
+    if name_or_path == "minikg":
+        return minikg()
+    if name_or_path == "minikg-small":
+        return minikg(num_ent=400, n_hubs=16, n_hub_rels=4)
     if os.path.isdir(name_or_path):
         return load_kg_dir(name_or_path)
     cand = os.path.join(data_root, name_or_path)

@@ -140,3 +140,33 @@ def build_rel_graph(
         n_nodes=int(n_nodes_pad),
         num_rels=int(num_rels),
     )
+
+
+def attach_csr(graph: RelGraph, bn: int = 128, rb: int | None = None) -> RelGraph:
+    """Attach a blocked-CSR index over the edge rows so the LP aggregators
+    run through the Pallas segment kernels (kernels/pallas_segment.py).
+
+    Host-side, static per graph — use on full training graphs (lp-train)
+    or any fixed sampled batch; per-step sampled graphs would retrigger
+    compilation because the blocked chunk count is data-dependent.
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    from mr_gnas_tpu.kernels.pallas_segment import CSRMeta, build_blocked_csr
+
+    ne = graph.n_edge_rows
+    dst = np.asarray(jax.device_get(graph.dst))[:ne]
+    mask = np.asarray(jax.device_get(graph.row_mask))[:ne]
+    if rb is None:
+        # match the row-chunk size to the graph's density: sparse sampled
+        # graphs (avg in-degree ~1) would pad every 128-node block to a
+        # 512-row chunk otherwise (4x dead work)
+        n_blocks = max(1, -(-graph.n_nodes // bn))
+        avg_rows = int(mask.sum()) / n_blocks
+        rb = 64
+        while rb < min(512, 2 * avg_rows):
+            rb *= 2
+    csr = build_blocked_csr(dst, graph.n_nodes, mask=mask, bn=bn, rb=rb)
+    return _dc.replace(graph, csr=CSRMeta.from_blocked(csr))

@@ -64,6 +64,10 @@ class RelGraph:
     n_fwd: int = flax.struct.field(pytree_node=False)
     n_nodes: int = flax.struct.field(pytree_node=False)
     num_rels: int = flax.struct.field(pytree_node=False)
+    # optional blocked-CSR index over the edge rows; when present, the LP
+    # aggregators route through the Pallas segment kernels
+    # (kernels/pallas_segment.py) instead of XLA scatters
+    csr: object = None
 
     @property
     def n_edge_rows(self) -> int:

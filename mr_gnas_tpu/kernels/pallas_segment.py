@@ -53,6 +53,19 @@ class BlockedCSR:
     bn: int
     rb: int
 
+    def inverse_perm(self, n_rows: int) -> tuple[np.ndarray, np.ndarray]:
+        """(inv [n_rows], has [n_rows]) — position of each original edge
+        row in the sorted layout and whether it is present (masked-out
+        rows get gradient 0). For the gather-formulated backward of the
+        segment ops."""
+        valid = self.seg >= 0
+        inv = np.zeros(n_rows, np.int32)
+        has = np.zeros(n_rows, np.float32)
+        pos = np.nonzero(valid)[0].astype(np.int32)
+        inv[self.perm[valid]] = pos
+        has[self.perm[valid]] = 1.0
+        return inv, has
+
     @property
     def e_pad(self) -> int:
         return len(self.perm)
@@ -134,9 +147,23 @@ def build_blocked_csr(
 _NEG = -1e30
 
 
+def _roll1d(s, k):
+    """1D roll composed from sub-128 steps — Mosaic cannot lower a lane
+    rotate with shift >= 128 (one lane-tile) in this toolchain."""
+    if k < 0:
+        # negative shift: roll forward by len - |k|
+        k = s.shape[0] + k
+    while k > 0:
+        step = min(k, 127)
+        s = jnp.roll(s, step)
+        k -= step
+    return s
+
+
 def _kernel(blk_ref, row_ref, first_ref, seg_ref, data_ref, out_ref, *, bn, rb, op):
     i = pl.program_id(0)
-    local = seg_ref[0, 0, :] - blk_ref[i] * bn  # [RB]; dummies negative
+    seg = seg_ref[0, 0, :]  # [RB] global node ids, -1 for dummies
+    local = seg - blk_ref[i] * bn  # dummies negative
     node_ids = jax.lax.broadcasted_iota(jnp.int32, (bn, rb), 0)
     sel = node_ids == local[None, :]
 
@@ -159,25 +186,86 @@ def _kernel(blk_ref, row_ref, first_ref, seg_ref, data_ref, out_ref, *, bn, rb, 
             precision=jax.lax.Precision.HIGHEST,
         )
     else:
-        # f32 select mask: Mosaic only supports minor-dim broadcast
-        # insertion for 32-bit types (not i1)
-        sel_f = jnp.where(sel, 1.0, 0.0)[:, :, None]
-        contrib = sel_f * data_ref[...][None, :, :] + (1.0 - sel_f) * _NEG
-        out_ref[...] = jnp.maximum(out_ref[...], jnp.max(contrib, axis=1))
+        # segmented prefix-max along the sorted rows (log2(RB) shifted
+        # maxes on the VPU), then extract each segment's last row with a
+        # boundary one-hot MXU matmul — avoids the old [BN, RB, D]
+        # broadcast-max slab (NOTES.md round-1 item 2: 2x slower than
+        # scatter; this formulation does RB*D work instead of BN*RB*D).
+        # Shifts are jnp.roll + iota masks (concatenate does not lower in
+        # this Mosaic version).
+        # (all row-mask broadcasts are f32 blends: Mosaic only supports
+        # minor-dim broadcast insertion for 32-bit types, not i1)
+        x = data_ref[...]  # [RB, D]
+        real = jnp.where(seg >= 0, 1.0, 0.0)[:, None]
+        x = x * real + (1.0 - real) * _NEG
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rb,), 0)
+        k = 1
+        while k < rb:
+            shifted = jnp.roll(x, k, axis=0)
+            seg_sh = _roll1d(seg, k)
+            take = jnp.where((pos >= k) & (seg_sh == seg), 1.0, 0.0)[:, None]
+            x = take * jnp.maximum(x, shifted) + (1.0 - take) * x
+            k *= 2
+        nxt = _roll1d(seg, -1)
+        is_end = (seg >= 0) & ((nxt != seg) | (pos == rb - 1))
+        end_f = jnp.where(is_end, 1.0, 0.0)
+        one_hot = jnp.where(sel, 1.0, 0.0) * end_f[None, :]
+        extracted = jax.lax.dot_general(
+            one_hot,
+            x * end_f[:, None],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        present = jnp.where(jnp.sum(one_hot, axis=1) > 0, 1.0, 0.0)
+        out_ref[...] = jnp.maximum(
+            out_ref[...], present[:, None] * extracted + (1.0 - present[:, None]) * _NEG
+        )
 
 
-def _segment_csr(data_sorted, csr: BlockedCSR, op: str, interpret: bool):
+import flax.struct
+
+
+@flax.struct.dataclass
+class CSRMeta:
+    """Device-resident blocked-CSR index, attachable to a RelGraph.
+
+    The jit-traceable twin of :class:`BlockedCSR` (arrays are pytree
+    leaves; tile sizes static)."""
+
+    perm: jax.Array  # [E_pad]
+    seg3d: jax.Array  # [n_chunks, 8, rb] sublane-replicated seg ids
+    chunk_block: jax.Array
+    chunk_row: jax.Array
+    chunk_first: jax.Array
+    counts: jax.Array  # [n_nodes] f32
+    bn: int = flax.struct.field(pytree_node=False)
+    rb: int = flax.struct.field(pytree_node=False)
+    n_nodes: int = flax.struct.field(pytree_node=False)
+
+    @staticmethod
+    def from_blocked(csr: BlockedCSR) -> "CSRMeta":
+        return CSRMeta(
+            perm=jnp.asarray(csr.perm),
+            seg3d=jnp.asarray(np.repeat(csr.seg.reshape(-1, 1, csr.rb), 8, axis=1)),
+            chunk_block=jnp.asarray(csr.chunk_block),
+            chunk_row=jnp.asarray(csr.chunk_row),
+            chunk_first=jnp.asarray(csr.chunk_first),
+            counts=jnp.asarray(csr.counts),
+            bn=csr.bn,
+            rb=csr.rb,
+            n_nodes=csr.n_nodes,
+        )
+
+
+def _segment_csr_meta(data_sorted, meta: CSRMeta, op: str, interpret: bool):
     e_pad, d = data_sorted.shape
-    bn, rb = csr.bn, csr.rb
-    # seg ids per chunk, replicated over 8 sublanes so the (1, 8, rb)
-    # block satisfies the TPU (8, 128) tile rule (~seg is 1/8 the size of
-    # a d=128 data chunk, so the duplication costs a few % of traffic)
-    seg3d = jnp.asarray(
-        np.repeat(csr.seg.reshape(-1, 1, rb), 8, axis=1)
-    )
+    bn, rb = meta.bn, meta.rb
+    n_chunks = meta.chunk_block.shape[0]
+    n_blocks = -(-meta.n_nodes // bn)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # chunk_block, chunk_row, chunk_first
-        grid=(csr.n_total_chunks,),
+        grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, 8, rb), lambda i, blk, row, first: (row[i], 0, 0)),
             pl.BlockSpec((rb, d), lambda i, blk, row, first: (row[i], 0)),
@@ -186,17 +274,21 @@ def _segment_csr(data_sorted, csr: BlockedCSR, op: str, interpret: bool):
     )
     out = pl.pallas_call(
         functools.partial(_kernel, bn=bn, rb=rb, op=op),
-        out_shape=jax.ShapeDtypeStruct((csr.n_blocks * bn, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * bn, d), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        jnp.asarray(csr.chunk_block),
-        jnp.asarray(csr.chunk_row),
-        jnp.asarray(csr.chunk_first),
-        seg3d,
+        meta.chunk_block,
+        meta.chunk_row,
+        meta.chunk_first,
+        meta.seg3d,
         data_sorted,
     )
-    return out[: csr.n_nodes]
+    return out[: meta.n_nodes]
+
+
+def _segment_csr(data_sorted, csr: BlockedCSR, op: str, interpret: bool):
+    return _segment_csr_meta(data_sorted, CSRMeta.from_blocked(csr), op, interpret)
 
 
 def segment_reduce_pallas(
@@ -227,3 +319,80 @@ def segment_mean_pallas(data, csr: BlockedCSR, interpret: bool = False):
     s = segment_reduce_pallas(data, csr, "sum", interpret)
     counts = jnp.asarray(csr.counts)
     return jnp.where(counts[:, None] > 0, s / jnp.maximum(counts[:, None], 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# differentiable CSR segment ops (the load-bearing model path)
+# ---------------------------------------------------------------------------
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _zero_cot(x):
+    """Zero cotangent for a possibly-integer primal (float0 for ints)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _seg_csr(op: str, interpret: bool, data, meta: CSRMeta, dst, mask):
+    """Differentiable Pallas segment reduce with a gather-formulated VJP.
+
+    The backward is a plain gather ``g[dst] * mask`` (sum) or the
+    max-equality variant — no scatter anywhere in forward or backward.
+    """
+    sorted_data = jnp.take(data, meta.perm, axis=0)
+    out = _segment_csr_meta(sorted_data, meta, op, interpret)
+    if op == "max":
+        out = jnp.where(meta.counts[:, None] > 0, out, 0.0)
+    return out
+
+
+def _seg_csr_fwd(op, interpret, data, meta, dst, mask):
+    out = _seg_csr(op, interpret, data, meta, dst, mask)
+    res = (data if op == "max" else None, out if op == "max" else None, meta, dst, mask)
+    return out, res
+
+
+def _seg_csr_bwd(op, interpret, res, g):
+    data, out, meta, dst, mask = res
+    dst_c = jnp.minimum(dst, meta.n_nodes - 1)
+    if op == "max":
+        eq = (data == jnp.take(out, dst_c, axis=0)).astype(g.dtype)
+        gd = eq * jnp.take(g, dst_c, axis=0)
+    else:
+        gd = jnp.take(g, dst_c, axis=0)
+    return (
+        gd * mask[:, None],
+        jax.tree.map(_zero_cot, meta),
+        _zero_cot(dst),
+        _zero_cot(mask),
+    )
+
+
+_seg_csr.defvjp(_seg_csr_fwd, _seg_csr_bwd)
+
+
+def segment_sum_csr(data, meta: CSRMeta, dst, mask, interpret: bool | None = None):
+    """Differentiable CSR segment sum (drop-in for kernels.segment_sum
+    when the graph carries a CSRMeta). Data is computed in f32 inside the
+    kernel; the cast sits outside the custom_vjp so bf16 cotangents
+    flow back correctly."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _seg_csr("sum", interpret, data.astype(jnp.float32), meta, dst, mask)
+
+
+def segment_max_csr(data, meta: CSRMeta, dst, mask, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _seg_csr("max", interpret, data.astype(jnp.float32), meta, dst, mask)
+
+
+def segment_mean_csr(data, meta: CSRMeta, dst, mask, interpret: bool | None = None):
+    s = segment_sum_csr(data, meta, dst, mask, interpret)
+    c = meta.counts
+    return jnp.where(c[:, None] > 0, s / jnp.maximum(c[:, None], 1.0), 0.0)

@@ -300,6 +300,23 @@ class _ALPBase(nn.Module):
         ne = graph.n_edge_rows
         return h[:ne], h[ne:]
 
+    def _reduce(self, graph: RelGraph, msg: jax.Array, op: str) -> jax.Array:
+        """Edge->node segment reduce; routes through the Pallas CSR
+        kernels when the graph carries a CSRMeta (graph/build.attach_csr),
+        else the XLA scatter baselines."""
+        ne = graph.n_edge_rows
+        if graph.csr is not None:
+            from mr_gnas_tpu.kernels.pallas_segment import (
+                segment_max_csr,
+                segment_mean_csr,
+                segment_sum_csr,
+            )
+
+            fn = {"sum": segment_sum_csr, "max": segment_max_csr, "mean": segment_mean_csr}[op]
+            return fn(msg, graph.csr, graph.dst[:ne], graph.edge_mask)
+        fn = {"sum": segment_sum, "max": segment_max, "mean": segment_mean}[op]
+        return fn(msg, graph.dst[:ne], graph.n_nodes, graph.edge_mask)
+
 
 class AMaxLP(_ALPBase):
     """relu(Linear(h[:E])) -> segment-max + self residual
@@ -311,10 +328,7 @@ class AMaxLP(_ALPBase):
     def __call__(self, graph: RelGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
         he, hs = self._edges_and_self(graph, h)
         msg = jax.nn.relu(dense(self.feature_dim)(he))
-        agg = segment_max(
-            msg, graph.dst[: graph.n_edge_rows], graph.n_nodes, graph.edge_mask
-        )
-        return agg + hs
+        return self._reduce(graph, msg, "max") + hs
 
 
 class AMeanLP(_ALPBase):
@@ -327,10 +341,7 @@ class AMeanLP(_ALPBase):
     def __call__(self, graph: RelGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
         he, hs = self._edges_and_self(graph, h)
         msg = jax.nn.relu(dense(self.feature_dim)(he))
-        agg = segment_mean(
-            msg, graph.dst[: graph.n_edge_rows], graph.n_nodes, graph.edge_mask
-        )
-        return agg + hs
+        return self._reduce(graph, msg, "mean") + hs
 
 
 class ASumLP(_ALPBase):
@@ -342,8 +353,6 @@ class ASumLP(_ALPBase):
     @nn.compact
     def __call__(self, graph: RelGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
         he, hs = self._edges_and_self(graph, h)
-        agg = segment_sum(
-            he, graph.dst[: graph.n_edge_rows], graph.n_nodes, graph.edge_mask
-        )
+        agg = self._reduce(graph, he, "sum")
         agg = nn.Dropout(self.drop_aggr, deterministic=not training)(agg)
         return agg + hs

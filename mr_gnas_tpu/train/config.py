@@ -110,6 +110,8 @@ class LPTrainConfig(BaseConfig):
     # model_lp.py:34 discards the dropout result)
     drop_aggr: float = 0.1
     gamma: float = 40.0
+    pallas_agg: bool = False  # route the edge->node aggregators through
+    # the Pallas blocked-CSR segment kernels (graph/build.attach_csr)
     # ConvE head (train/mr_lp_train.py:383-390)
     conve_hid_drop: float = 0.3
     feat_drop: float = 0.3

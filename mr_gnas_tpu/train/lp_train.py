@@ -69,6 +69,10 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     )
     # full train graph — exact static size unless sharding needs pads
     graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels, pad_multiple=data_n)
+    if cfg.pallas_agg:
+        from mr_gnas_tpu.graph.build import attach_csr
+
+        graph = attach_csr(graph)
     if mesh is not None:
         graph = shard_graph(graph, mesh)
     genotypes = parse_genotypes(cfg.genotype)

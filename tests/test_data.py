@@ -15,6 +15,25 @@ from mr_gnas_tpu.data import (
 )
 
 
+def test_minikg_structure_and_determinism():
+    from mr_gnas_tpu.data import load_dataset
+
+    kg = load_dataset("minikg-small")
+    kg2 = load_dataset("minikg-small")
+    assert (kg.train == kg2.train).all() and (kg.test == kg2.test).all()
+    assert kg.num_rels == 2 + 3 * 4
+    # held-out splits contain only composed relations (answerable via the
+    # member_of + hub-map edges that remain in train)
+    assert (kg.valid[:, 1] >= 2 + 4).all()
+    assert (kg.test[:, 1] >= 2 + 4).all()
+    # both hub-valued and leaf-valued answers present (degree-bias guard)
+    n_hubs = 16
+    assert (kg.test[:, 2] < n_hubs).any() and (kg.test[:, 2] >= n_hubs).any()
+    # no test triple appears in train
+    tr = {tuple(t) for t in kg.train.tolist()}
+    assert not any(tuple(t) in tr for t in kg.test.tolist())
+
+
 def test_negative_sampling_counts(rng):
     pos = np.array([[0, 0, 1], [1, 1, 2], [2, 0, 3]])
     samples, labels = negative_sampling(pos, num_entity=4, negative_rate=5, rng=rng)

@@ -71,3 +71,80 @@ def test_empty_segments_zero(rng):
     )
     np.testing.assert_allclose(got[5], data.max(0), rtol=1e-6)
     assert np.all(got[:5] == 0) and np.all(got[6:] == 0)
+
+
+def test_csr_ops_values_and_grads_match_xla(rng):
+    """The differentiable CSR segment ops (the load-bearing model path)
+    match the XLA scatter baselines in value AND gradient."""
+    import jax
+
+    from mr_gnas_tpu.kernels.pallas_segment import (
+        CSRMeta,
+        segment_max_csr,
+        segment_mean_csr,
+        segment_sum_csr,
+    )
+    from mr_gnas_tpu.kernels.segment import segment_max, segment_mean, segment_sum
+
+    e, n, d = 96, 40, 16
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    mask = (rng.uniform(size=e) > 0.2).astype(np.float32)
+    dst_m = np.where(mask > 0, dst, n).astype(np.int32)  # XLA dummy segment
+    csr = build_blocked_csr(dst, n, mask, bn=8, rb=16)
+    meta = CSRMeta.from_blocked(csr)
+    dj, dstj, mj = jnp.asarray(data), jnp.asarray(dst_m), jnp.asarray(mask)
+    cot = rng.normal(size=(n, d)).astype(np.float32)
+
+    pairs = [
+        (lambda x: segment_sum_csr(x, meta, dstj, mj, interpret=True),
+         lambda x: segment_sum(x, dstj, n, mj)),
+        (lambda x: segment_max_csr(x, meta, dstj, mj, interpret=True),
+         lambda x: segment_max(x, dstj, n, mj)),
+        (lambda x: segment_mean_csr(x, meta, dstj, mj, interpret=True),
+         lambda x: segment_mean(x, dstj, n, mj)),
+    ]
+    for f_csr, f_xla in pairs:
+        np.testing.assert_allclose(
+            np.asarray(f_csr(dj)), np.asarray(f_xla(dj)), rtol=1e-5, atol=1e-5
+        )
+        g_csr = jax.grad(lambda x: jnp.sum(f_csr(x) * cot))(dj)
+        g_xla = jax.grad(lambda x: jnp.sum(f_xla(x) * cot))(dj)
+        np.testing.assert_allclose(
+            np.asarray(g_csr), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_lp_network_with_attached_csr_matches(rng):
+    """LPNetwork forward over a CSR-attached graph == plain graph
+    (the pallas_agg flag path end to end, interpret mode)."""
+    import jax
+
+    from mr_gnas_tpu.cells.genotype import parse_reference_genotypes
+    from mr_gnas_tpu.graph import build_rel_graph
+    from mr_gnas_tpu.graph.build import attach_csr
+    from mr_gnas_tpu.models import LPNetwork
+
+    geno = parse_reference_genotypes(
+        "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
+        "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_sum', 5, 3), "
+        "('f_sparse_last', 6, 5), ('f_sparse_last', 7, 5)], "
+        "concat_node=[4, 5, 6, 7], score_func='sf_DisMult')]"
+    )
+    n_ent, n_rels = 24, 3
+    trip = np.stack([rng.integers(0, n_ent, 40), rng.integers(0, n_rels, 40),
+                     rng.integers(0, n_ent, 40)], axis=1)
+    g = build_rel_graph(trip, n_ent, n_rels, pad_multiple=8)
+    g_csr = attach_csr(g, bn=8, rb=16)
+    model = LPNetwork(
+        genotypes=tuple(geno), num_ent=n_ent, num_rels=n_rels,
+        feature_dim=16, init_fea_dim=8, num_base_r=4,
+        dropout_cell=0.0, drop_aggr=0.0,
+    )
+    z = jnp.zeros((4,), jnp.int32)
+    v = model.init(jax.random.key(0), g, z, z, False)
+    out_plain = model.apply(v, g, z, z, False)
+    out_csr = model.apply(v, g_csr, z, z, False)
+    np.testing.assert_allclose(
+        np.asarray(out_csr), np.asarray(out_plain), rtol=1e-5, atol=1e-6
+    )
