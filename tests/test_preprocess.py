@@ -58,3 +58,36 @@ def test_parity_trace_dump_compare(tmp_path):
     )
     assert r2.returncode == 0
     assert "allclose" in r2.stdout
+
+
+def test_ntriples_preprocess_end_to_end(tmp_path):
+    """DGL-free RDF ingestion: .nt + TSVs -> .npz -> NCDataset -> blocks
+    (the real-AIFB path minus only the download)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "mini_rdf.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/preprocess_rdf.py",
+         "--nt", "tests/fixtures/mini_rdf/graph.nt",
+         "--train-tsv", "tests/fixtures/mini_rdf/trainingSet.tsv",
+         "--test-tsv", "tests/fixtures/mini_rdf/testSet.tsv",
+         "--out", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "dropped" in r.stdout  # literal triples excluded
+
+    from mr_gnas_tpu.data import CSRGraph, build_blocks
+    from mr_gnas_tpu.data.rdf import load_nc_npz
+
+    ds = load_nc_npz(str(out))
+    assert ds.num_classes == 3
+    assert ds.num_rels == 3  # affiliation, author, member (name/year are literals)
+    assert len(ds.train_idx) == 8 and len(ds.test_idx) == 4
+    # all 12 people are targets with labels
+    assert len(ds.target_ids) == 12
+    # blocks build over the ingested graph
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    blocks, seed_pos = build_blocks(csr, ds.target_ids[ds.train_idx], layers=2)
+    assert len(blocks) == 2 and blocks[-1].n_dst >= len(set(ds.train_idx))
