@@ -15,6 +15,7 @@ must beat it).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -89,7 +90,10 @@ def make_step(
     trip = jnp.asarray(batch.triplets)
     lab = jnp.asarray(batch.labels)
 
-    @jax.jit
+    # donate params/bstats/opt_state: the optimizer writes fresh buffers
+    # anyway, and donation lets XLA update in place instead of copying
+    # (the profiled step spends ~16% in copies, NOTES.md roofline)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, graph, trip, lab, key):
         def loss_fn(p):
             (ent, rel), mut = model.apply(

@@ -9,6 +9,8 @@ first-order and (working) second-order architect are available.
 """
 from __future__ import annotations
 
+import functools
+
 import os
 
 import jax
@@ -189,7 +191,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             mode=cfg.hvp_mode,
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def weight_step(params, bstats, w_opt, alphas, graph, trip, lab, dkey):
         def wloss(p):
             return loss_fn(p, bstats, alphas, graph, trip, lab, dkey)

@@ -7,6 +7,8 @@ best-MRR checkpointing (:193-201) and resume (:126-130).
 """
 from __future__ import annotations
 
+import functools
+
 import os
 
 import jax
@@ -148,7 +150,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             return labels
         return np.pad(labels, ((0, 0), (0, n_col_pad)))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, graph, subj, rel, labels, row_mask, dkey):
         def loss_fn(p):
             probs, mut = model.apply(

@@ -7,6 +7,8 @@ val batch, then SGD on the train batch; genotype-stability early stop
 """
 from __future__ import annotations
 
+import functools
+
 import os
 
 import jax
@@ -128,7 +130,7 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
             mode=cfg.hvp_mode,
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def weight_step(params, bstats, w_opt, alphas, blocks, seed_pos, labels, mask, dkey):
         def wloss(p):
             return loss_of(p, bstats, alphas, blocks, seed_pos, labels, mask, dkey)

@@ -8,6 +8,8 @@ accuracy.
 """
 from __future__ import annotations
 
+import functools
+
 import os
 
 import jax
@@ -82,7 +84,7 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         start_epoch = (meta or {}).get("epoch", -1) + 1
         log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, blocks, seed_pos, labels, mask, dkey):
         def loss_fn(p):
             logits, mut = model.apply(
