@@ -84,6 +84,63 @@ def edge_partitioned_segment_reduce(
     )(data, segment_ids, mask)
 
 
+def ring_segment_sum_overlapped(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: jax.Array,
+    mesh: Mesh,
+    data_axis: str = "data",
+):
+    """Edge-partitioned segment sum with ring-overlapped merging.
+
+    The compute/comm-overlap formulation of the psum merge (NOTES.md
+    round-1 item 3; the graph analog of ring attention's partial
+    exchange): instead of one blocking psum over full [N, D] partials,
+    each device reduces its edge shard into a *node-sharded* accumulator
+    slice and `ppermute`s the accumulator around the ring, adding its
+    local contribution for the arriving slice at each step — XLA can
+    overlap each hop's DMA with the next slice's local segment reduce.
+    Result: [N, D] with rows sharded over ``data_axis`` (all-gather at
+    the caller if a replicated result is needed).
+    """
+    n_dev = mesh.shape[data_axis]
+    if num_segments % n_dev:
+        raise ValueError(f"num_segments {num_segments} % devices {n_dev} != 0")
+    rows = num_segments // n_dev
+
+    def local(data, seg, mask):
+        idx = jax.lax.axis_index(data_axis)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def slice_partial(slice_owner):
+            """This device's contribution to rows [owner*rows, ...)."""
+            local_seg = seg - slice_owner * rows
+            valid = (local_seg >= 0) & (local_seg < rows) & (mask > 0)
+            capped = jnp.where(valid, local_seg, rows)
+            return jax.ops.segment_sum(
+                data * valid[:, None], capped, num_segments=rows + 1
+            )[:rows]
+
+        # start with the contribution to slice (idx-1) and ring the
+        # accumulator; after n_dev-1 hops each slice has passed every
+        # device exactly once and slice idx lands on device idx
+        owner = (idx + n_dev - 1) % n_dev
+        acc = slice_partial(owner)
+        for _ in range(n_dev - 1):
+            acc = jax.lax.ppermute(acc, data_axis, perm)
+            owner = (owner - 1) % n_dev
+            acc = acc + slice_partial(owner)
+        return acc
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=P(data_axis),
+    )(data, segment_ids, mask)
+
+
 def sharded_scores_rank(
     scores: jax.Array,
     labels: jax.Array,

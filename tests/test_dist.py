@@ -102,3 +102,31 @@ def test_sharded_lp_supernet_step_matches_single_device(rng):
     flat_b = jax.tree_util.tree_leaves(g_shard)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_ring_segment_sum_overlapped_equals_local(rng):
+    """Ring-overlapped edge-partitioned segment sum == plain segment sum
+    (the compute/comm-overlap merge; result node-sharded over the ring)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mr_gnas_tpu.dist.mesh import make_mesh
+    from mr_gnas_tpu.dist.partition import ring_segment_sum_overlapped
+    from mr_gnas_tpu.kernels.segment import segment_sum
+
+    mesh = make_mesh((8,), ("data",))
+    e, n, d = 256, 64, 16
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    seg = rng.integers(0, n, e).astype(np.int32)
+    mask = (rng.uniform(size=e) > 0.25).astype(np.float32)
+    row = NamedSharding(mesh, P("data"))
+    dj = jax.device_put(jnp.asarray(data), row)
+    sj = jax.device_put(jnp.asarray(seg), row)
+    mj = jax.device_put(jnp.asarray(mask), row)
+
+    out = jax.jit(
+        lambda a, b, c: ring_segment_sum_overlapped(a, b, n, c, mesh)
+    )(dj, sj, mj)
+    want = segment_sum(jnp.asarray(data), jnp.asarray(seg), n, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
