@@ -32,6 +32,8 @@ class BaseConfig:
     grad_norm: float = 5.0
     checkpoint: str = ""
     save_model_freq: int = 300
+    profile_steps: int = 0  # >0: record a jax.profiler trace of this many
+    # early steps into <run_dir>/profile (utils/profiling.trace)
     # distribution: e.g. (8,) = 8-way edge/data parallel, (4, 2) =
     # 4-way data x 2-way model (entity-table) parallel
     mesh_shape: tuple[int, ...] | None = None

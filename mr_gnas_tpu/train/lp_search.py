@@ -224,7 +224,16 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     thr = Throughput()
     n_steps = max_steps or cfg.epochs
     arch_loss = jnp.zeros(())
+    profiler = None
     for epoch in range(start_epoch, n_steps):
+        # optional profiler capture of the first post-compile steps
+        if cfg.profile_steps > 0 and epoch == start_epoch + 2:
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+            profiler = epoch
+        if profiler is not None and epoch == profiler + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s/profile", run_dir)
+            profiler = None
         # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
         ep_rng = np.random.default_rng([cfg.seed, epoch])
         k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
@@ -299,6 +308,8 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
                 {"epoch": epoch, "genotypes": best_geno},
             )
 
+    if profiler is not None:
+        jax.profiler.stop_trace()
     genotypes = decoded()
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),

@@ -59,6 +59,26 @@ def test_lp_search_driver(tmp_path):
     assert any("test_mrr" in r for r in recs)
 
 
+def test_lp_search_profile_trace(tmp_path):
+    cfg = LPSearchConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=8,
+        init_fea_dim=8,
+        num_base_r=4,
+        graph_batch_size=20,
+        graph_batch_size_val=12,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=6,
+        layers=1,
+        profile_steps=2,
+    )
+    out = run_lp_search(cfg)
+    prof = os.path.join(out["run_dir"], "profile")
+    assert os.path.isdir(prof) and any(os.scandir(prof))
+
+
 def test_lp_search_resume_exact(tmp_path):
     """Interrupted search continues bit-exactly: run 4 epochs straight vs
     2 epochs + resume for 2 more — identical final loss and genotypes."""
