@@ -721,6 +721,120 @@ class NCNetworkOracle(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# NC supernet (models/cell.py + model_search.py)
+# ---------------------------------------------------------------------------
+
+NC_PRE_OPS = ["pre_mult", "pre_sub", "pre_add"]
+NC_FIRST_OPS = ["f_zero", "f_identity", "f_dense", "f_sparse"]
+NC_MIDDLE_OPS = ["a_max", "a_sum", "a_mean"]
+NC_LAST_OPS = ["f_zero", "f_identity", "f_dense_last", "f_sparse_last"]
+
+
+class NCMixedOp(nn.Module):
+    """cell.py:11-31: per-op [op, Linear(d,d), BN, ReLU], weighted sum."""
+
+    def __init__(self, d, op_names):
+        super().__init__()
+        self.op_names = list(op_names)
+        self.ops = nn.ModuleList([NC_OPS[n](d) for n in op_names])
+        self.linears = nn.ModuleList([nn.Linear(d, d, bias=True) for _ in op_names])
+        self.bns = nn.ModuleList([nn.BatchNorm1d(d) for _ in op_names])
+
+    def forward(self, weights, g, h, h_in):
+        out = 0
+        for w, op, lin, bn in zip(weights, self.ops, self.linears, self.bns):
+            out = out + w * torch.relu(bn(lin(op(g, h, h_in))))
+        return out
+
+
+class NCSupernetCell(nn.Module):
+    """cell.py:117-146 incl. the in-cell concat -> BN -> ReLU."""
+
+    def __init__(self, d, first_nodes, last_nodes):
+        super().__init__()
+        self.first_nodes = first_nodes
+        self.last_nodes = last_nodes
+        self.zero = NCMixedOp(d, NC_PRE_OPS)
+        self.first = nn.ModuleList()
+        for i in range(first_nodes):
+            for _ in range(i + 1):
+                self.first.append(NCMixedOp(d, NC_FIRST_OPS))
+        self.middle = nn.ModuleList(
+            [NCMixedOp(d, NC_MIDDLE_OPS) for _ in range(first_nodes)]
+        )
+        self.last = nn.ModuleList()
+        for i in range(last_nodes):
+            for _ in range(first_nodes + i):
+                self.last.append(NCMixedOp(d, NC_LAST_OPS))
+        self.concat_weights = nn.Linear((first_nodes + last_nodes) * d, d)
+        self.batchnorm_h = nn.BatchNorm1d(d)
+
+    def forward(self, g, src_emb, hr, wz, wf, wm, wl):
+        h_in = self.zero(wz[0], g, src_emb, hr)
+        states = [h_in]
+        offset = 0
+        for _ in range(self.first_nodes):
+            s = sum(
+                self.first[offset + j](wf[offset + j], g, h, h_in)
+                for j, h in enumerate(states)
+            )
+            offset += len(states)
+            states.append(s)
+        states = states[1:]
+        states = [
+            self.middle[i](wm[i], g, states[i], h_in)
+            for i in range(self.first_nodes)
+        ]
+        offset = 0
+        for _ in range(self.last_nodes):
+            s = sum(
+                self.last[offset + j](wl[offset + j], g, h, h_in)
+                for j, h in enumerate(states)
+            )
+            offset += len(states)
+            states.append(s)
+        h = self.concat_weights(torch.cat(states, dim=1))
+        return torch.relu(self.batchnorm_h(h))
+
+
+class NCSupernetOracle(nn.Module):
+    """model_search.py:52-189 over build_nc_blocks blocks (dropout 0)."""
+
+    def __init__(self, num_nodes, num_classes, num_rels, layers, first_nodes, last_nodes, d, init_dim, num_base_r):
+        super().__init__()
+        self.embedding_h = nn.Embedding(num_nodes, init_dim)
+        self.embedding_e = nn.Embedding(num_base_r, init_dim)
+        self.rel_wt = nn.Parameter(torch.zeros(num_rels, num_base_r))
+        self.embedding_h_init = nn.Linear(init_dim, d, bias=False)
+        self.embedding_e_init = nn.Linear(init_dim, d, bias=False)
+        self.cells = nn.ModuleList(
+            [NCSupernetCell(d, first_nodes, last_nodes) for _ in range(layers)]
+        )
+        self.classifier = MLPClassifierOracle(d, num_classes)
+        self.batchnorm_h = nn.BatchNorm1d(d)
+
+    def forward(self, blocks, layer_weights):
+        node_embed = None
+        for i, cell in enumerate(self.cells):
+            block = blocks[i]
+            src_gid = torch.tensor(block.src)
+            if i == 0:
+                src_embed = self.embedding_h_init(self.embedding_h(src_gid))
+            else:
+                prev = blocks[i - 1]
+                pos = {int(v): p for p, v in enumerate(prev.dst_nodes)}
+                src_pos = torch.tensor([pos[int(v)] for v in block.src])
+                src_embed = node_embed[src_pos]
+            edges_embed = self.embedding_e_init(
+                self.rel_wt[block.etype] @ self.embedding_e.weight
+            )
+            wz, wf, wm, wl = layer_weights[i]
+            node_embed = cell(block, src_embed, edges_embed, wz, wf, wm, wl)
+        h = torch.relu(self.batchnorm_h(node_embed))
+        return self.classifier(h)
+
+
+# ---------------------------------------------------------------------------
 # weight transplant: flax '/'-flattened params -> torch modules
 # ---------------------------------------------------------------------------
 
@@ -892,6 +1006,39 @@ def _copy_lp_mixed(tp: Transplant, mixed: LPMixedOp, prefix: str):
     for name, op, bn in zip(mixed.op_names, mixed.ops, mixed.bns):
         _copy_lp_op(tp, op, name, prefix)
         tp.bn(bn, f"{prefix}/bn_{name}")
+
+
+def _copy_nc_mixed(tp: Transplant, mixed: NCMixedOp, prefix: str):
+    for name, op, lin, bn in zip(mixed.op_names, mixed.ops, mixed.linears, mixed.bns):
+        _copy_lp_op(tp, op, name, prefix, class_map=_FLAX_NC_OP_CLASS)
+        tp.linear(lin, f"{prefix}/lin_{name}")
+        tp.bn(bn, f"{prefix}/bn_{name}")
+
+
+def load_nc_supernet_from_flax(oracle: NCSupernetOracle, variables):
+    """Transplant mr_gnas_tpu.models.NCSupernet (fused=False) variables."""
+    tp = Transplant(variables)
+    tp.tensor(oracle.embedding_h.weight, "emb/embedding_h")
+    tp.tensor(oracle.embedding_e.weight, "emb/embedding_e")
+    tp.tensor(oracle.rel_wt, "emb/rel_wt")
+    tp.linear(oracle.embedding_h_init, "emb/h_init")
+    tp.linear(oracle.embedding_e_init, "emb/e_init")
+    tp.bn(oracle.batchnorm_h, "bn_h")
+    for l in range(3):
+        tp.linear(oracle.classifier.FC_layers[l], f"classifier/Dense_{l}")
+    for i, cell in enumerate(oracle.cells):
+        cp = f"cell_{i}"
+        _copy_nc_mixed(tp, cell.zero, f"{cp}/zero_0")
+        for k, m in enumerate(cell.first):
+            _copy_nc_mixed(tp, m, f"{cp}/first_{k}")
+        for k, m in enumerate(cell.middle):
+            _copy_nc_mixed(tp, m, f"{cp}/middle_{k}")
+        for k, m in enumerate(cell.last):
+            _copy_nc_mixed(tp, m, f"{cp}/last_{k}")
+        tp.linear(cell.concat_weights, f"{cp}/concat")
+        tp.bn(cell.batchnorm_h, f"{cp}/bn_out")
+    tp.assert_exhausted()
+    return tp
 
 
 def load_lp_supernet_from_flax(oracle: LPSupernetOracle, variables):

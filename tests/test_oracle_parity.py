@@ -253,6 +253,69 @@ def test_lp_supernet_per_layer_parity(rng):
         )
 
 
+def test_nc_supernet_parity(rng):
+    """The NC weight-sharing supernet over real 2-hop blocks matches the
+    torch oracle of model_search.py (eval + train mode, same alphas)."""
+    from mr_gnas_tpu.cells.genotype import CellSpec, init_alphas, layer_weights
+    from mr_gnas_tpu.data.blocks import CSRGraph, build_blocks
+    from mr_gnas_tpu.models import NCSupernet
+
+    n_nodes, n_rels, n_edges, n_classes, layers = 26, 4, 70, 3, 2
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    etype = rng.integers(0, n_rels, n_edges)
+    seeds = np.unique(rng.integers(0, n_nodes, 7))
+    csr = CSRGraph(src, dst, etype, n_nodes)
+    blocks, _ = build_blocks(csr, seeds, layers=layers)
+    oblocks = oracle.build_nc_blocks(src, dst, etype, seeds, layers=layers)
+
+    spec = CellSpec(task="nc", zero_nodes=1, first_nodes=2, last_nodes=2)
+    model = NCSupernet(
+        num_nodes=n_nodes,
+        num_classes=n_classes,
+        num_rels=n_rels,
+        layers=layers,
+        spec=spec,
+        feature_dim=D,
+        init_fea_dim=INIT_D,
+        num_base_r=N_BASE,
+        dropout=0.0,
+        fused=False,
+    )
+    alphas = init_alphas(jax.random.key(2), spec, layers)
+    variables = model.init(jax.random.key(9), blocks, alphas, False)
+    onet = oracle.NCSupernetOracle(
+        n_nodes, n_classes, n_rels, layers, 2, 2, D, INIT_D, N_BASE
+    )
+    oracle.load_nc_supernet_from_flax(onet, jax.device_get(variables))
+
+    lw = []
+    for i in range(layers):
+        w = layer_weights(alphas, spec, i)
+        lw.append(tuple(
+            torch.tensor(np.asarray(w[s])) for s in ("zero", "first", "middle", "last")
+        ))
+
+    for training in (False, True):
+        kw = (
+            dict(mutable=["batch_stats"], rngs={"dropout": jax.random.key(0)})
+            if training
+            else {}
+        )
+        out = model.apply(variables, blocks, alphas, training, **kw)
+        logits = out[0] if training else out
+        onet.train(training)
+        with torch.no_grad():
+            ologits = onet(oblocks, lw)
+        mine_gid = np.asarray(blocks[-1].dst_gid)
+        order = {int(g): p for p, g in enumerate(mine_gid)}
+        idx = [order[int(g)] for g in oblocks[-1].dst_nodes]
+        np.testing.assert_allclose(
+            np.asarray(logits)[idx], ologits.numpy(), rtol=3e-4, atol=1e-5,
+            err_msg=f"NC supernet logits (training={training})",
+        )
+
+
 def test_lp_retrain_train_step_bn_stats_parity(rng):
     """One training-mode forward: outputs AND the mutated BN running stats
     match torch (incl. masked-BN over padded rows == torch BN)."""
