@@ -21,6 +21,11 @@ Weight transplant helpers copy a flax parameter tree (flattened with '/'
 separators) into the torch modules, transposing Linear kernels at the
 boundary ([in, out] -> [out, in]) and tracking consumed keys so tests can
 assert the mapping is exhaustive.
+
+NOTE: this file intentionally mirrors the reference's module structure —
+it exists to BE the reference for numerical comparison (the reference is
+MIT-licensed; replication here is the entire point of an oracle, and it
+is test-only code, never imported by the framework).
 """
 from __future__ import annotations
 

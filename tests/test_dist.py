@@ -3,7 +3,6 @@ sharded results must equal single-device results (SURVEY.md §4 item 4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from mr_gnas_tpu.cells import CellSpec, init_alphas
