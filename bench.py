@@ -149,7 +149,7 @@ def main():
     # NOTES.md round-2 roofline). The round-1 fixed workload (f32, 4096)
     # is re-measured into detail.fixed_workload for continuity.
     out = run_bench(bf16=True, graph_batch=32768)
-    fixed = run_bench(bf16=False, graph_batch=4096, steps=10)
+    fixed = run_bench(bf16=False, graph_batch=4096, steps=20)
     out["fixed_workload"] = {
         "edges_per_sec": round(fixed["edges_per_sec"], 1),
         "step_ms": round(fixed["step_ms"], 3),
