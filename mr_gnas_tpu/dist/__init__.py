@@ -1,11 +1,13 @@
 from mr_gnas_tpu.dist.mesh import (
     make_mesh,
     replicate,
+    shard_blocks,
     shard_entity_table,
     shard_graph,
 )
 from mr_gnas_tpu.dist.partition import (
     edge_partitioned_segment_reduce,
+    ring_segment_sum_overlapped,
     sharded_scores_rank,
 )
 
@@ -13,6 +15,8 @@ __all__ = [
     "edge_partitioned_segment_reduce",
     "make_mesh",
     "replicate",
+    "ring_segment_sum_overlapped",
+    "shard_blocks",
     "shard_entity_table",
     "shard_graph",
     "sharded_scores_rank",

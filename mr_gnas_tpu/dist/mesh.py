@@ -65,6 +65,31 @@ def shard_graph(graph: RelGraph, mesh: Mesh, data_axis: str = "data") -> RelGrap
     )
 
 
+def shard_blocks(blocks, mesh: Mesh, data_axis: str = "data"):
+    """Commit NC message-flow-graph blocks to the data axis: per-edge
+    arrays shard over edge rows (bucketed to powers of two, so any axis
+    size up to the minimum bucket divides), dst-node arrays replicate."""
+    row = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+    n = mesh.shape[data_axis]
+    out = []
+    for b in blocks:
+        if b.n_edges % n:
+            raise ValueError(f"block edges {b.n_edges} not divisible by {n}")
+        out.append(
+            b.replace(
+                src_gid=jax.device_put(b.src_gid, row),
+                src_pos=jax.device_put(b.src_pos, row),
+                dst_pos=jax.device_put(b.dst_pos, row),
+                etype=jax.device_put(b.etype, row),
+                edge_mask=jax.device_put(b.edge_mask, row),
+                dst_gid=jax.device_put(b.dst_gid, rep),
+                dst_mask=jax.device_put(b.dst_mask, rep),
+            )
+        )
+    return out
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
     rep = NamedSharding(mesh, P())

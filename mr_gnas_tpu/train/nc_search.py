@@ -39,6 +39,14 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
         f.write(cfg.to_json())
     key = jax.random.key(cfg.seed)
 
+    # distribution: blocks' edge rows shard over the 'data' axis
+    mesh = None
+    if cfg.mesh_shape:
+        from mr_gnas_tpu.dist import make_mesh, replicate, shard_blocks
+
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        log.info("mesh: %s", dict(mesh.shape))
+
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
     csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
     train_idx, val_idx = ds.search_split()
@@ -62,10 +70,18 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     )
     alphas = init_alphas(key, spec, cfg.layers)
 
+    def make_blocks(seeds):
+        blocks, sp = build_blocks(csr, seeds, cfg.layers)
+        if mesh is not None:
+            blocks = shard_blocks(blocks, mesh)
+        return blocks, sp
+
     seeds0 = ds.target_ids[train_idx[: cfg.batch_size]]
-    blocks0, _ = build_blocks(csr, seeds0, cfg.layers)
+    blocks0, _ = make_blocks(seeds0)
     variables = model.init(jax.random.key(cfg.seed + 1), blocks0, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
+    if mesh is not None:
+        params, bstats, alphas = replicate((params, bstats, alphas), mesh)
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     w_tx = optax.chain(
@@ -147,7 +163,7 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
 
     def batch_inputs(idx_batch, mask):
         seeds = ds.target_ids[idx_batch]
-        blocks, seed_pos = build_blocks(csr, seeds, cfg.layers)
+        blocks, seed_pos = make_blocks(seeds)
         labels = jnp.asarray(ds.labels[idx_batch])
         return blocks, jnp.asarray(seed_pos), labels, jnp.asarray(mask)
 

@@ -39,6 +39,15 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         f.write(cfg.to_json())
     key = jax.random.key(cfg.seed)
 
+    # distribution: blocks' edge rows shard over the 'data' axis (the
+    # block edge buckets are powers of two, so the axis size divides)
+    mesh = None
+    if cfg.mesh_shape:
+        from mr_gnas_tpu.dist import make_mesh, replicate, shard_blocks
+
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+        log.info("mesh: %s", dict(mesh.shape))
+
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
     csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
     genotypes = parse_genotypes(cfg.genotype)
@@ -58,10 +67,19 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         op_norm=cfg.op_norm,
     )
     layers = len(genotypes)
+
+    def make_blocks(seeds):
+        blocks, sp = build_blocks(csr, seeds, layers)
+        if mesh is not None:
+            blocks = shard_blocks(blocks, mesh)
+        return blocks, sp
+
     seeds0 = ds.target_ids[ds.train_idx[: cfg.batch_size]]
-    blocks0, _ = build_blocks(csr, seeds0, layers)
+    blocks0, _ = make_blocks(seeds0)
     variables = model.init(key, blocks0, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
+    if mesh is not None:
+        params, bstats = replicate((params, bstats), mesh)
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     if cfg.optimizer.lower() == "sgd":
@@ -107,7 +125,7 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         count = np.zeros(ds.num_classes)
         for idx_b, mask in iterate_seed_batches(idx, cfg.batch_size, shuffle=False):
             seeds = ds.target_ids[idx_b]
-            blocks, sp = build_blocks(csr, seeds, layers)
+            blocks, sp = make_blocks(seeds)
             logits = np.asarray(eval_logits(params, bstats, blocks))
             pred = logits[sp].argmax(-1)
             labels = ds.labels[idx_b]
@@ -132,7 +150,7 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
             iterate_seed_batches(ds.train_idx, cfg.batch_size, True, rng)
         ):
             seeds = ds.target_ids[idx_b]
-            blocks, sp = build_blocks(csr, seeds, layers)
+            blocks, sp = make_blocks(seeds)
             dkey = jax.random.fold_in(key, step)
             params, bstats, opt_state, loss = train_step(
                 params, bstats, opt_state, blocks, jnp.asarray(sp),

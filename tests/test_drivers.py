@@ -315,6 +315,31 @@ def test_nc_search_driver(tmp_path):
     assert len(out["genotypes"]) == 1
 
 
+def test_nc_train_driver_mesh(tmp_path):
+    """nc-train honors cfg.mesh_shape: block edge rows shard over the
+    8-way data axis and match the single-device accuracy."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=3,
+        layers=1,
+        genotype=GENO_NC,
+        optimizer="adam",
+        learning_rate=5e-3,
+        log_every=2,
+    )
+    out1 = run_nc_train(NCTrainConfig(save_dir=str(tmp_path / "n1"), **base))
+    out8 = run_nc_train(
+        NCTrainConfig(save_dir=str(tmp_path / "n8"), mesh_shape=(8,), **base)
+    )
+    np.testing.assert_allclose(
+        out8["best"]["test_acc"], out1["best"]["test_acc"], atol=1e-6
+    )
+
+
 def test_nc_train_driver(tmp_path):
     cfg = NCTrainConfig(
         dataset="synthetic",
