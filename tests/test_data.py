@@ -154,3 +154,35 @@ def test_build_blocks_duplicate_seeds():
     blocks, seed_pos = build_blocks(csr, seeds, layers=1)
     assert seed_pos[0] == seed_pos[2]
     assert np.asarray(blocks[-1].dst_gid)[seed_pos[1]] == seeds[1]
+
+
+def test_kg_directory_loader_end_to_end(tmp_path):
+    """The plain-file KG path (the real FB15k-237/WN18RR format:
+    train/valid/test.txt + entities/relations.dict) loads and trains."""
+    from mr_gnas_tpu.data import load_dataset
+    from mr_gnas_tpu.train import LPTrainConfig, run_lp_train
+
+    kg = load_dataset("tests/fixtures/mini_kgdir")
+    assert kg.num_ent == 60 and kg.num_rels == 6
+    assert len(kg.train) == 320 and len(kg.test) == 40
+    # frozen vocab: ids come from the dict files
+    kg2 = load_dataset("tests/fixtures/mini_kgdir")
+    assert (kg.train == kg2.train).all()
+
+    cfg = LPTrainConfig(
+        dataset="tests/fixtures/mini_kgdir",
+        save_dir=str(tmp_path),
+        feature_dim=8,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=1,
+        genotype=(
+            "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_identity', 2, 1), "
+            "('f_identity', 3, 2), ('a_sum', 4, 2), ('a_sum', 5, 3), "
+            "('f_identity', 6, 4), ('f_identity', 7, 5)], "
+            "concat_node=[4, 5, 6, 7], score_func='sf_DisMult')]"
+        ),
+    )
+    out = run_lp_train(cfg)
+    assert 0.0 <= out["test"]["mrr"] <= 1.0
