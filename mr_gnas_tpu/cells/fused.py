@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from mr_gnas_tpu.cells.genotype import CellSpec
 from mr_gnas_tpu.graph.container import RelGraph
-from mr_gnas_tpu.kernels import segment_max, segment_mean, segment_sum
+from mr_gnas_tpu.kernels import segment_max, segment_sum
 from mr_gnas_tpu.ops.message_ops import dense
 
 
@@ -257,7 +257,6 @@ class FusedSupernetCellLP(nn.Module):
         if graph.csr is not None:
             from mr_gnas_tpu.kernels.pallas_segment import (
                 segment_max_csr,
-                segment_mean_csr,
                 segment_sum_csr,
             )
 
@@ -273,21 +272,32 @@ class FusedSupernetCellLP(nn.Module):
                     [segment_sum_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
                 )
 
-            def vmean(x):
-                return jnp.stack(
-                    [segment_mean_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
-                )
+            cnt = graph.csr.counts
         else:
             vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
             vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
-            vmean = jax.vmap(lambda x: segment_mean(x, dst_e, graph.n_nodes, edge_mask))
+            from mr_gnas_tpu.kernels.segment import segment_count
+
+            cnt = segment_count(dst_e, graph.n_nodes, edge_mask)
         agg_max = vmax(lin[:, 0]) + SSelf
-        sum_raw = vsum(SE)
+        # a_sum's input (SE) and a_mean's numerator (lin[:, 1]) reduce the
+        # same edge set to the same dst ids — concat along D runs both
+        # through ONE scatter/CSR pass instead of two (the scatters are
+        # ~32% of step time, NOTES.md roofline)
+        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
+        sum_raw, mean_num = summed[..., :d], summed[..., d:]
         sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(
             sum_raw, deterministic=not training
         )
         agg_sum = sum_raw + SSelf
-        agg_mean = vmean(lin[:, 1]) + SSelf
+        agg_mean = (
+            jnp.where(
+                cnt[:, None] > 0,
+                mean_num / jnp.maximum(cnt[:, None], 1.0).astype(mean_num.dtype),
+                0.0,
+            ).astype(mean_num.dtype)
+            + SSelf
+        )
         mid_stack = jnp.stack([agg_max, agg_sum, agg_mean], axis=1)  # MIDDLE_OPS order
         y = jax.nn.relu(
             self._bn_apply(bn_mid, slice(0, m_nodes), mid_stack, node_mask, training)
@@ -446,9 +456,20 @@ class FusedSupernetCellNC(nn.Module):
         )
         vmax = jax.vmap(lambda x: segment_max(x, graph.dst, graph.n_nodes, edge_mask))
         vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, graph.n_nodes, edge_mask))
-        vmean = jax.vmap(lambda x: segment_mean(x, graph.dst, graph.n_nodes, edge_mask))
+        from mr_gnas_tpu.kernels.segment import segment_count
+
+        # one scatter pass for a_sum's input and a_mean's numerator (see
+        # the LP cell's middle stage)
+        summed = vsum(jnp.concatenate([S, lin[:, 1]], axis=-1))
+        a_sum, mean_num = summed[..., :d], summed[..., d:]
+        cnt = segment_count(graph.dst, graph.n_nodes, edge_mask)
+        a_mean = jnp.where(
+            cnt[:, None] > 0,
+            mean_num / jnp.maximum(cnt[:, None], 1.0).astype(mean_num.dtype),
+            0.0,
+        ).astype(mean_num.dtype)
         mid_stack = jnp.stack(
-            [vmax(lin[:, 0]), vsum(S), vmean(lin[:, 1])], axis=1
+            [vmax(lin[:, 0]), a_sum, a_mean], axis=1
         )  # NC_MIDDLE_OPS order (a_max, a_sum, a_mean)
         mid_stack = post_linear(mid_stack.astype(cdt), mw, mb)
         y = jax.nn.relu(

@@ -248,12 +248,23 @@ class MixedScoreFn(nn.Module):
 # --------------------------------------------------------------------------
 
 
+def _gather_sro(ent_emb, rel_embed, triplets):
+    """Gather (s, r, o) rows. Subject and object rows come from ONE take
+    of the entity table so the backward pass emits a single scatter-add
+    into ent_emb instead of two (triplet batches are B = edges*(1+neg)
+    rows — the largest scatter in the search step)."""
+    so = jnp.take(
+        ent_emb, jnp.concatenate([triplets[:, 0], triplets[:, 2]]), axis=0
+    )
+    s, o = jnp.split(so, 2, axis=0)
+    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
+    return s, r, o
+
+
 def distmult_triplet_score(ent_emb, rel_embed, triplets):
     """sum(s * r * o) per triplet — the hard-coded search-time score
     (model_search_lp.py:169-176)."""
-    s = jnp.take(ent_emb, triplets[:, 0], axis=0)
-    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
-    o = jnp.take(ent_emb, triplets[:, 2], axis=0)
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets)
     return jnp.sum(s * r * o, axis=1)
 
 
@@ -289,9 +300,7 @@ def bce_probs_loss(probs, labels, row_mask=None, col_mask=None, eps: float = 1e-
 def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):
     """gamma - ||(s + r) - o||_1 per triplet — the triplet form of
     sf_TransE (operations_lp.py:101-112)."""
-    s = jnp.take(ent_emb, triplets[:, 0], axis=0)
-    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
-    o = jnp.take(ent_emb, triplets[:, 2], axis=0)
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets)
     return gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
 
 
@@ -299,9 +308,11 @@ def mixed_triplet_score(ent_emb, rel_embed, triplets, sf_weights, gamma: float =
     """Softmax-weighted mixture of triplet score functions (SF_OPS order:
     TransE, DistMult) — gives ``alphas['final']`` a gradient in the search
     loss, exceeding the reference where Cell_SF is allocated but unused
-    (model_search_lp.py:160-161)."""
-    te = transe_triplet_score(ent_emb, rel_embed, triplets, gamma)
-    dm = distmult_triplet_score(ent_emb, rel_embed, triplets)
+    (model_search_lp.py:160-161). The (s, r, o) rows are gathered once
+    and shared by both score functions."""
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets)
+    te = gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
+    dm = jnp.sum(s * r * o, axis=1)
     return sf_weights[0] * te + sf_weights[1] * dm
 
 
