@@ -34,6 +34,7 @@ def make_step(
     negative_rate: int = 10,
     bf16: bool = False,
     pallas_agg: bool = False,
+    megakernel: bool = False,
 ):
     """Build the benchmark train step. Returns (train_step, state, inputs)
     where state = (params, bstats, opt_state) and
@@ -81,6 +82,7 @@ def make_step(
         dropout_cell=0.3,
         drop_aggr=0.1,
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        megakernel=megakernel,
     )
     alphas = init_alphas(jax.random.key(0), spec, layers, with_final=True)
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)

@@ -69,6 +69,9 @@ class FusedSupernetCellLP(nn.Module):
     epsilon: float = 1e-5
     compute_dtype: object = jnp.float32  # bf16 halves HBM traffic of the
     # op stacks; BN statistics stay f32
+    megakernel: bool = False  # training-mode stages via the Pallas BN-mix
+    # mega-kernel (kernels/bn_mix.py): no [p, K, R, D] slab ever touches
+    # HBM. Eval mode and megakernel=False use the XLA slab path below.
 
     # ---- stage-wide BN with sliced application --------------------------
 
@@ -145,10 +148,282 @@ class FusedSupernetCellLP(nn.Module):
         zero_term = jnp.einsum("pd,p->d", jax.nn.relu(out0), w[:, 0])
         return mixed + zero_term[None, :].astype(mixed.dtype)
 
+    # ---- mega-kernel path helpers ---------------------------------------
+
+    def _mega_update_stats(self, bn, sl, op_sl, mean, var, cnt):
+        """Running-stat update from kernel-computed batch stats (same
+        semantics as ``_bn_apply``'s training branch)."""
+        _, _, rm, rv = bn
+        if not self.is_initializing():
+            unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+            rm.value = rm.value.at[sl, op_sl].set(
+                self.momentum * rm.value[sl, op_sl] + (1 - self.momentum) * mean
+            )
+            rv.value = rv.value.at[sl, op_sl].set(
+                self.momentum * rv.value[sl, op_sl] + (1 - self.momentum) * unbiased
+            )
+
+    def _mega_zero_term(self, bn, sl, w0, p_i):
+        """Training-mode analytic f_zero pipeline (op 0): BN of all-zero
+        rows is the bias row; running stats decay toward (0, 0). Mirrors
+        ``_mix_const_op0``'s op-0 branch with c0 = 0."""
+        _, bias, rm, rv = bn
+        d = self.feature_dim
+        out0 = jnp.broadcast_to(bias[sl, 0], (p_i, d))
+        if not self.is_initializing():
+            rm.value = rm.value.at[sl, 0].set(self.momentum * rm.value[sl, 0])
+            rv.value = rv.value.at[sl, 0].set(self.momentum * rv.value[sl, 0])
+        return jnp.einsum("pd,p->d", jax.nn.relu(out0), w0)
+
+    def _call_mega(self, graph: RelGraph, src_emb, hr, weights, training: bool):
+        """Training forward through kernels/bn_mix.py — numerically the
+        same function as the slab path (stats/normalize in f32; parity
+        tested in tests/test_bn_mix.py)."""
+        import jax as _jax
+
+        from mr_gnas_tpu.kernels.bn_mix import bn_mix
+
+        spec, d = self.spec, self.feature_dim
+        p1, p2 = spec.n_first_edges, spec.n_last_edges
+        m_nodes = spec.first_nodes
+        nf, ne = graph.n_fwd, graph.n_edge_rows
+        cdt = self.compute_dtype
+        interp = _jax.default_backend() != "tpu"
+        src_emb = src_emb.astype(cdt)
+        hr = hr.astype(cdt)
+        r_rows = src_emb.shape[0]
+        n_self = r_rows - ne
+        dst_e = graph.dst[:ne]
+
+        rmask2 = graph.row_mask[:, None].astype(jnp.float32)
+        nmask2 = graph.node_mask[:, None].astype(jnp.float32)
+        rcnt = jnp.maximum(jnp.sum(graph.row_mask), 1.0)
+        ncnt = jnp.maximum(jnp.sum(graph.node_mask), 1.0)
+
+        # section scale vectors ([fwd|inv] edge rows carry norm/3; the
+        # self section carries 1/3 for the gated ops and 1 for f_comp —
+        # operations_lp.py:287's unscaled-self quirk)
+        norm_e = graph.norm[:ne].astype(cdt)
+        third = jnp.full((n_self,), 1.0 / 3.0, cdt)
+        s_ds = jnp.concatenate([norm_e / 3.0, third])[None, :, None]
+        s_c = jnp.concatenate([norm_e / 3.0, jnp.ones((n_self,), cdt)])[None, :, None]
+
+        # ---------------- zero stage ----------------
+        bn_zero = self._bn_decl("bn_zero", (1, 3))
+        scale_z, bias_z = bn_zero[0], bn_zero[1]
+        w_z = weights["zero"][:1].astype(jnp.float32)
+        h_in, mean, var = bn_mix(
+            "zero", interp, cdt, (src_emb, hr), None,
+            scale_z.reshape(3, d), bias_z.reshape(3, d), w_z, rmask2, rcnt,
+        )
+        self._mega_update_stats(
+            bn_zero, slice(0, 1), slice(None), mean.reshape(1, 3, d),
+            var.reshape(1, 3, d), rcnt,
+        )
+
+        # ---------------- first stage ----------------
+        w_sec = {
+            s: self.param(f"first_w_{s}", blocked_xavier(3), (p1, 2 * d, 3 * d))
+            for s in ("in", "out", "self")
+        }
+        b_sec = {
+            s: self.param(f"first_b_{s}", nn.initializers.zeros_init(), (p1, 2, d))
+            for s in ("in", "out", "self")
+        }
+        a_sec = {
+            s: self.param(f"first_a_{s}", blocked_xavier(1), (p1, d, 1))
+            for s in ("in", "out", "self")
+        }
+        bn_first = self._bn_decl("bn_first", (p1, 5))
+        scale_f, bias_f = bn_first[0], bn_first[1]
+
+        def level_precursors(pairs, sl):
+            """Per-section gate matmuls -> full-row zd, zc, u. The sparse
+            gate never materializes: its [D, D] transform is collapsed
+            into the [D, 1] matvec W_s @ a (associativity of the linear
+            gate pre-activation)."""
+            zd_parts, zc_parts, u_parts = [], [], []
+            for s, lo, hi in (("in", 0, nf), ("out", nf, ne), ("self", ne, r_rows)):
+                w = w_sec[s][sl]  # [p, 2d, 3d]
+                b = b_sec[s][sl]
+                a = a_sec[s][sl]
+                ps, hs = pairs[:, lo:hi], h_in[lo:hi]
+                w_dc = jnp.concatenate([w[:, :, :d], w[:, :, 2 * d :]], axis=-1)
+                z = jnp.einsum(
+                    "prc,pck->prk", ps, w_dc[:, :d].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                z = z + jnp.einsum(
+                    "rc,pck->prk", hs, w_dc[:, d:].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                zd_parts.append(z[..., :d] + b[:, 0][:, None, :].astype(cdt))
+                zc_parts.append(z[..., d:])
+                wa = jnp.einsum(
+                    "pck,pko->pco", w[:, :, d : 2 * d], a,
+                    preferred_element_type=jnp.float32,
+                )
+                u = jnp.einsum(
+                    "prc,pco->pro", ps, wa[:, :d].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                u = u + jnp.einsum(
+                    "rc,pco->pro", hs, wa[:, d:].astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(cdt)
+                u = u + jnp.einsum("pd,pdo->po", b[:, 1], a).astype(cdt)[:, None, :]
+                u_parts.append(u)
+            return (
+                jnp.concatenate(zd_parts, axis=1),
+                jnp.concatenate(zc_parts, axis=1),
+                jnp.concatenate(u_parts, axis=1),
+            )
+
+        states = [h_in]
+        done = 0
+        for _ in range(spec.first_nodes):
+            p_i = len(states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(states)
+            zd, zc, u = level_precursors(pairs, sl)
+            out, mean, var = bn_mix(
+                "first", interp, cdt,
+                (pairs, pairs * s_ds, zd, zc * s_c), u,
+                scale_f[sl, 1:].reshape(p_i * 4, d),
+                bias_f[sl, 1:].reshape(p_i * 4, d),
+                weights["first"][sl][:, 1:].astype(jnp.float32),
+                rmask2, rcnt,
+            )
+            self._mega_update_stats(
+                bn_first, sl, slice(1, None), mean.reshape(p_i, 4, d),
+                var.reshape(p_i, 4, d), rcnt,
+            )
+            zt = self._mega_zero_term(bn_first, sl, weights["first"][sl][:, 0], p_i)
+            states.append(out + zt[None, :].astype(out.dtype))
+            done += p_i
+        first_states = states[1:]
+
+        # ---------------- middle stage (aggregators as in the slab path,
+        # BN+ReLU+mix via the 'pre' kernel) ----------------
+        w_mid = self.param("middle_w", blocked_xavier(1), (m_nodes, 2, d, d))
+        b_mid = self.param("middle_b", nn.initializers.zeros_init(), (m_nodes, 2, d))
+        bn_mid = self._bn_decl("bn_middle", (m_nodes, 3))
+        scale_m, bias_m = bn_mid[0], bn_mid[1]
+        S = jnp.stack(first_states)
+        SE, SSelf = S[:, :ne], S[:, ne:]
+        lin = jax.nn.relu(
+            jnp.einsum(
+                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(SE.dtype)
+            + b_mid[..., None, :].astype(SE.dtype)
+        )
+        if graph.csr is not None:
+            from mr_gnas_tpu.kernels.pallas_segment import (
+                segment_max_csr,
+                segment_sum_csr,
+            )
+
+            def vmax(x):
+                return jnp.stack(
+                    [segment_max_csr(x[m], graph.csr, dst_e, graph.edge_mask) for m in range(x.shape[0])]
+                )
+
+            def vsum(x):
+                return jnp.stack(
+                    [segment_sum_csr(x[m], graph.csr, dst_e, graph.edge_mask) for m in range(x.shape[0])]
+                )
+
+            cnt_seg = graph.csr.counts
+        else:
+            vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, graph.edge_mask))
+            vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, graph.edge_mask))
+            from mr_gnas_tpu.kernels.segment import segment_count
+
+            cnt_seg = segment_count(dst_e, graph.n_nodes, graph.edge_mask)
+        agg_max = vmax(lin[:, 0]) + SSelf
+        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
+        sum_raw, mean_num = summed[..., :d], summed[..., d:]
+        sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(
+            sum_raw, deterministic=not training
+        )
+        agg_sum = sum_raw + SSelf
+        agg_mean = (
+            jnp.where(
+                cnt_seg[:, None] > 0,
+                mean_num / jnp.maximum(cnt_seg[:, None], 1.0).astype(mean_num.dtype),
+                0.0,
+            ).astype(mean_num.dtype)
+            + SSelf
+        )
+        node_states = []
+        for m in range(m_nodes):
+            out_m, mean, var = bn_mix(
+                "pre", interp, cdt,
+                (agg_max[m].astype(cdt), agg_sum[m].astype(cdt), agg_mean[m].astype(cdt)),
+                None,
+                scale_m[m], bias_m[m],
+                weights["middle"][m : m + 1].astype(jnp.float32),
+                nmask2, ncnt,
+            )
+            self._mega_update_stats(
+                bn_mid, slice(m, m + 1), slice(None), mean.reshape(1, 3, d),
+                var.reshape(1, 3, d), ncnt,
+            )
+            node_states.append(out_m)
+
+        # ---------------- last stage ----------------
+        w_last = self.param("last_w", blocked_xavier(1), (p2, 2, d, d))
+        b_last = self.param("last_b", nn.initializers.zeros_init(), (p2, 2, d))
+        a_last = self.param("last_a", blocked_xavier(1), (p2, d, 1))
+        bn_last = self._bn_decl("bn_last", (p2, 4))
+        scale_l, bias_l = bn_last[0], bn_last[1]
+        done = 0
+        for _ in range(spec.last_nodes):
+            p_i = len(node_states)
+            sl = slice(done, done + p_i)
+            pairs = jnp.stack(node_states)
+            zd = jnp.einsum(
+                "pnd,pdf->pnf", pairs, w_last[sl][:, 0].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt) + b_last[sl][:, 0][:, None, :].astype(cdt)
+            wa = jnp.einsum(
+                "pdf,pfo->pdo", w_last[sl][:, 1], a_last[sl],
+                preferred_element_type=jnp.float32,
+            )
+            u = jnp.einsum(
+                "pnd,pdo->pno", pairs, wa.astype(cdt),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+            u = u + jnp.einsum(
+                "pd,pdo->po", b_last[sl][:, 1], a_last[sl]
+            ).astype(cdt)[:, None, :]
+            out, mean, var = bn_mix(
+                "last", interp, cdt, (pairs, zd), u,
+                scale_l[sl, 1:].reshape(p_i * 3, d),
+                bias_l[sl, 1:].reshape(p_i * 3, d),
+                weights["last"][sl][:, 1:].astype(jnp.float32),
+                nmask2, ncnt,
+            )
+            self._mega_update_stats(
+                bn_last, sl, slice(1, None), mean.reshape(p_i, 3, d),
+                var.reshape(p_i, 3, d), ncnt,
+            )
+            zt = self._mega_zero_term(bn_last, sl, weights["last"][sl][:, 0], p_i)
+            node_states.append(out + zt[None, :].astype(out.dtype))
+            done += p_i
+
+        h = dense(d, name="concat")(
+            jnp.concatenate(node_states, axis=-1).astype(jnp.float32)
+        )
+        return h
+
     # ---- forward --------------------------------------------------------
 
     @nn.compact
     def __call__(self, graph: RelGraph, src_emb, hr, weights, training: bool):
+        if self.megakernel and training:
+            return self._call_mega(graph, src_emb, hr, weights, training)
         spec, d = self.spec, self.feature_dim
         assert spec.task == "lp"
         p1, p2 = spec.n_first_edges, spec.n_last_edges

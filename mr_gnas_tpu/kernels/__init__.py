@@ -1,3 +1,5 @@
+from mr_gnas_tpu.kernels.bn_mix import bn_mix
+from mr_gnas_tpu.kernels.table import take_small_table
 from mr_gnas_tpu.kernels.segment import (
     gather_rows,
     segment_count,
@@ -8,6 +10,8 @@ from mr_gnas_tpu.kernels.segment import (
 )
 
 __all__ = [
+    "bn_mix",
+    "take_small_table",
     "gather_rows",
     "segment_count",
     "segment_max",

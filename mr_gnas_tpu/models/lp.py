@@ -25,6 +25,7 @@ from mr_gnas_tpu.cells.genotype import CellSpec, Genotype
 from mr_gnas_tpu.cells.supernet import SupernetCell
 from mr_gnas_tpu.cells.genotype import layer_weights
 from mr_gnas_tpu.graph.container import RelGraph
+from mr_gnas_tpu.kernels.table import take_small_table
 from mr_gnas_tpu.layers import MaskedBatchNorm, xavier_relu_param
 from mr_gnas_tpu.ops.message_ops import dense
 from mr_gnas_tpu.ops.registry import OpArgs, SF_OPS, make_score_fn
@@ -77,6 +78,8 @@ class LPSupernet(nn.Module):
     fused: bool = True  # fused einsum cells (see cells/fused.py); the
     # naive per-module path is kept for parity testing and NC
     compute_dtype: object = jnp.float32  # bf16 for the fused cell stacks
+    megakernel: bool = False  # training stages via the Pallas BN-mix
+    # mega-kernel (kernels/bn_mix.py)
     remat: bool = False  # rematerialize cell activations in backward
     # (trades ~1 extra forward for not holding the op stacks across the
     # whole backward — the jax.checkpoint lever for large graphs)
@@ -104,7 +107,7 @@ class LPSupernet(nn.Module):
                 )
             else:
                 ent_in = jnp.take(ent_emb, graph.src, axis=0)
-            hr = jnp.take(rel_embed, graph.etype, axis=0)
+            hr = take_small_table(rel_embed, graph.etype)
             if self.fused:
                 from mr_gnas_tpu.cells.fused import FusedSupernetCellLP
 
@@ -118,6 +121,7 @@ class LPSupernet(nn.Module):
                     feature_dim=self.feature_dim,
                     drop_aggr=self.drop_aggr,
                     compute_dtype=self.compute_dtype,
+                    megakernel=self.megakernel,
                     name=f"cell_{i}",
                 )
             else:
@@ -200,7 +204,7 @@ class LPNetwork(nn.Module):
                 jnp.take(graph.global_ids, graph.src, axis=0) if i == 0 else graph.src,
                 axis=0,
             )
-            hr = jnp.take(rel_embed, graph.etype, axis=0)
+            hr = take_small_table(rel_embed, graph.etype)
             ent_emb = cell(graph, ent_in, hr, training)
             ent_emb = self.drops[i](ent_emb, deterministic=not training)
             rel_embed = jnp.dot(
@@ -217,7 +221,7 @@ class LPNetwork(nn.Module):
     def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
         ent_emb, rel_embed = self.encode(graph, training)
         sub_emb = jnp.take(ent_emb, subj, axis=0)
-        rel_emb = jnp.take(rel_embed, rel, axis=0)
+        rel_emb = take_small_table(rel_embed, rel)
         return self.score_fn(ent_emb, sub_emb, rel_emb, training)
 
 
@@ -257,7 +261,7 @@ def _gather_sro(ent_emb, rel_embed, triplets):
         ent_emb, jnp.concatenate([triplets[:, 0], triplets[:, 2]]), axis=0
     )
     s, o = jnp.split(so, 2, axis=0)
-    r = jnp.take(rel_embed, triplets[:, 1], axis=0)
+    r = take_small_table(rel_embed, triplets[:, 1])
     return s, r, o
 
 

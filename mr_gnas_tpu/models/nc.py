@@ -20,6 +20,7 @@ from mr_gnas_tpu.cells.compiled import CompiledCell
 from mr_gnas_tpu.cells.genotype import CellSpec, Genotype, layer_weights
 from mr_gnas_tpu.cells.supernet import SupernetCell
 from mr_gnas_tpu.graph.container import Block, as_edge_graph
+from mr_gnas_tpu.kernels.table import take_small_table
 from mr_gnas_tpu.layers import MLPClassifier, MaskedBatchNorm, xavier_relu_param
 from mr_gnas_tpu.ops.message_ops import dense
 
@@ -46,11 +47,14 @@ class _NCEmbeddings(nn.Module):
             jnp.take(emb_h, src_gid, axis=0)
         )
         # per-edge rel embedding: e_init(rel_wt[etype] @ embedding_e)
-        # (model_search.py:164)
-        rel_rows = jnp.dot(
-            jnp.take(rel_wt, etype, axis=0), emb_e, preferred_element_type=jnp.float32
+        # (model_search.py:164). Regrouped as (rel_wt @ embedding_e)[etype]
+        # — identical by linearity, but the basis matmul runs over
+        # num_rels table rows instead of E edge rows, and the gather's
+        # backward is the MXU one-hot contraction of kernels/table.py.
+        rel_table = dense(self.feature_dim, use_bias=False, name="e_init")(
+            jnp.dot(rel_wt, emb_e, preferred_element_type=jnp.float32)
         )
-        edges_embed = dense(self.feature_dim, use_bias=False, name="e_init")(rel_rows)
+        edges_embed = take_small_table(rel_table, etype)
         return src_embed, edges_embed
 
 
