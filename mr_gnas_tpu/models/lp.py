@@ -190,6 +190,17 @@ class LPNetwork(nn.Module):
         name = self.genotypes[-1].score_func or "sf_DisMult"
         args = OpArgs(self.score_args or {})
         args.setdefault("embed_dim", self.feature_dim)
+        if name == "sf_ConvE":
+            ed, kw, kh = args["embed_dim"], args.get("k_w", 10), args.get("k_h", 20)
+            if ed != self.feature_dim or kw * kh != ed:
+                raise ValueError(
+                    f"sf_ConvE needs embed_dim == feature_dim == k_w*k_h; got "
+                    f"embed_dim={ed}, feature_dim={self.feature_dim}, "
+                    f"k_w*k_h={kw}*{kh}={kw*kh}. Pass matching --embed-dim/"
+                    f"--k-w/--k-h (e.g. --embed-dim {self.feature_dim} with "
+                    f"k_w*k_h == {self.feature_dim}), or use a sf_DisMult/"
+                    f"sf_TransE genotype."
+                )
         self.score_fn = make_score_fn(name, args)
 
     def encode_trace(self, graph: RelGraph, training: bool = False):

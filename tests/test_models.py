@@ -231,3 +231,33 @@ def test_nc_network_retrain_learns_synthetic(rng):
         if i == 0:
             loss0 = float(loss)
     assert float(loss) < loss0 * 0.5, (loss0, float(loss))
+
+
+def test_conve_dim_mismatch_raises_clearly(rng):
+    """sf_ConvE with embed_dim != feature_dim must raise an actionable
+    ValueError at setup, not an opaque reshape failure (found driving the
+    CLI with the default ConvE genotype at feature-dim 32)."""
+    import pytest as _pytest
+
+    from mr_gnas_tpu.cells.genotype import Genotype
+    from mr_gnas_tpu.models import LPNetwork
+
+    geno = Genotype(
+        alpha_cell=[("pre_sub", 1, 0), ("a_sum", 2, 1)],
+        concat_node=[2],
+        score_func="sf_ConvE",
+    )
+    net = LPNetwork(
+        genotypes=(geno,), num_ent=50, num_rels=3, feature_dim=32,
+        init_fea_dim=16, num_base_r=7,
+        score_args={"embed_dim": 128, "k_w": 8, "k_h": 16},
+    )
+    from mr_gnas_tpu.data import synthetic_kg
+    from mr_gnas_tpu.graph.build import build_rel_graph
+
+    kg = synthetic_kg(num_ent=50, num_rels=3, n_train=60, seed=0)
+    g = build_rel_graph(kg.train, 50, 3)
+    with _pytest.raises(ValueError, match="sf_ConvE needs"):
+        net.init(
+            jax.random.key(0), g, jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32)
+        )
