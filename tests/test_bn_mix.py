@@ -105,6 +105,7 @@ def _named(tree):
     )
 
 
+@pytest.mark.slow
 def test_lp_supernet_megakernel_parity(rng):
     """LPSupernet(megakernel=True) == (False): loss, grads, batch_stats."""
     from mr_gnas_tpu.cells import CellSpec, init_alphas

@@ -60,6 +60,7 @@ def test_sharded_rank_matches_local(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_sharded_lp_supernet_step_matches_single_device(rng):
     """Full supernet loss+grad step: edge rows sharded over 8 devices vs
     unsharded — identical numerics (modulo fp reduction order)."""

@@ -4,6 +4,7 @@ SupernetCell given converted parameters — eval AND training mode
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mr_gnas_tpu.cells import CellSpec, SupernetCell, init_alphas, layer_weights
 from mr_gnas_tpu.cells.fused import FusedSupernetCellLP, convert_naive_params
@@ -75,6 +76,7 @@ def test_fused_matches_naive_training_and_stats(rng):
         )
 
 
+@pytest.mark.slow
 def test_fused_gradients_flow(rng):
     g, spec, naive, fused, nv, fv_conv, w, h, hr = _setup(rng)
     variables = jax.tree.map(jnp.asarray, fv_conv)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mr_gnas_tpu.cells import CellSpec, init_alphas, parse_reference_genotypes
 from mr_gnas_tpu.data import (
@@ -32,6 +33,7 @@ REF_GENO = (
 )
 
 
+@pytest.mark.slow
 def test_lp_supernet_forward_and_alpha_grads(rng):
     kg = synthetic_kg(num_ent=60, num_rels=4, n_train=200)
     adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
@@ -149,6 +151,7 @@ def _nc_setup(rng, layers=2):
     return ds, blocks, seed_pos, seeds
 
 
+@pytest.mark.slow
 def test_nc_supernet_forward(rng):
     ds, blocks, seed_pos, seeds = _nc_setup(rng)
     spec = CellSpec(task="nc")

@@ -10,6 +10,9 @@ from mr_gnas_tpu.data import (
     synthetic_kg,
 )
 from mr_gnas_tpu.models import LPSupernet, lp_search_loss
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_remat_grads_match(rng):
