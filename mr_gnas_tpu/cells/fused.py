@@ -148,6 +148,51 @@ class FusedSupernetCellLP(nn.Module):
         zero_term = jnp.einsum("pd,p->d", jax.nn.relu(out0), w[:, 0])
         return mixed + zero_term[None, :].astype(mixed.dtype)
 
+    # ---- middle-stage aggregation (shared by slab + mega paths) ---------
+
+    def _middle_aggregates(self, graph: RelGraph, SE, SSelf, w_mid, b_mid, dst_e):
+        """(agg_max, sum_raw, mean_num, cnt): the three aggregator
+        reductions per first-state, each [M, N, D], self-residuals NOT
+        yet applied and a_sum's dropout NOT yet applied.
+
+        CSR graphs use the fused gather+compose+reduce kernel
+        (kernels/fused_agg.py) — the pre-linear relu slabs never touch
+        HBM; otherwise the composite XLA path (batched einsum + scatter
+        segment ops)."""
+        ne = graph.n_edge_rows
+        edge_mask = graph.edge_mask
+        if graph.csr is not None:
+            from mr_gnas_tpu.kernels.fused_agg import fused_middle_agg
+
+            outs = [
+                fused_middle_agg(
+                    SE[m], w_mid[m, 0], b_mid[m, 0], w_mid[m, 1], b_mid[m, 1],
+                    graph.csr, dst_e, edge_mask,
+                )
+                for m in range(SE.shape[0])
+            ]
+            agg_max = jnp.stack([o[0] for o in outs])
+            sum_raw = jnp.stack([o[1] for o in outs])
+            mean_num = jnp.stack([o[2] for o in outs])
+            return agg_max, sum_raw, mean_num, graph.csr.counts
+        lin = jax.nn.relu(
+            jnp.einsum(
+                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(SE.dtype)
+            + b_mid[..., None, :].astype(SE.dtype)
+        )
+        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
+        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
+        from mr_gnas_tpu.kernels.segment import segment_count
+
+        cnt = segment_count(dst_e, graph.n_nodes, edge_mask)
+        agg_max = vmax(lin[:, 0])
+        # one scatter pass for a_sum's input and a_mean's numerator
+        d = SE.shape[-1]
+        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
+        return agg_max, summed[..., :d], summed[..., d:], cnt
+
     # ---- mega-kernel path helpers ---------------------------------------
 
     def _mega_update_stats(self, bn, sl, op_sl, mean, var, cnt):
@@ -311,39 +356,10 @@ class FusedSupernetCellLP(nn.Module):
         scale_m, bias_m = bn_mid[0], bn_mid[1]
         S = jnp.stack(first_states)
         SE, SSelf = S[:, :ne], S[:, ne:]
-        lin = jax.nn.relu(
-            jnp.einsum(
-                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(SE.dtype)
-            + b_mid[..., None, :].astype(SE.dtype)
+        agg_max, sum_raw, mean_num, cnt_seg = self._middle_aggregates(
+            graph, SE, SSelf, w_mid, b_mid, dst_e
         )
-        if graph.csr is not None:
-            from mr_gnas_tpu.kernels.pallas_segment import (
-                segment_max_csr,
-                segment_sum_csr,
-            )
-
-            def vmax(x):
-                return jnp.stack(
-                    [segment_max_csr(x[m], graph.csr, dst_e, graph.edge_mask) for m in range(x.shape[0])]
-                )
-
-            def vsum(x):
-                return jnp.stack(
-                    [segment_sum_csr(x[m], graph.csr, dst_e, graph.edge_mask) for m in range(x.shape[0])]
-                )
-
-            cnt_seg = graph.csr.counts
-        else:
-            vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, graph.edge_mask))
-            vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, graph.edge_mask))
-            from mr_gnas_tpu.kernels.segment import segment_count
-
-            cnt_seg = segment_count(dst_e, graph.n_nodes, graph.edge_mask)
-        agg_max = vmax(lin[:, 0]) + SSelf
-        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
-        sum_raw, mean_num = summed[..., :d], summed[..., d:]
+        agg_max = agg_max + SSelf
         sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(
             sum_raw, deterministic=not training
         )
@@ -522,45 +538,10 @@ class FusedSupernetCellLP(nn.Module):
         bn_mid = self._bn_decl("bn_middle", (m_nodes, 3))
         S = jnp.stack(first_states)  # [M, R, D]
         SE, SSelf = S[:, :ne], S[:, ne:]
-        lin = jax.nn.relu(
-            jnp.einsum(
-                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(SE.dtype)
-            + b_mid[..., None, :].astype(SE.dtype)
-        )  # [M, 2(max,mean), E, D]
-        if graph.csr is not None:
-            from mr_gnas_tpu.kernels.pallas_segment import (
-                segment_max_csr,
-                segment_sum_csr,
-            )
-
-            # pallas path (graph/build.attach_csr): loop over the M first
-            # nodes — pallas_call under vmap is avoided on purpose
-            def vmax(x):
-                return jnp.stack(
-                    [segment_max_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
-                )
-
-            def vsum(x):
-                return jnp.stack(
-                    [segment_sum_csr(x[m], graph.csr, dst_e, edge_mask) for m in range(x.shape[0])]
-                )
-
-            cnt = graph.csr.counts
-        else:
-            vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
-            vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
-            from mr_gnas_tpu.kernels.segment import segment_count
-
-            cnt = segment_count(dst_e, graph.n_nodes, edge_mask)
-        agg_max = vmax(lin[:, 0]) + SSelf
-        # a_sum's input (SE) and a_mean's numerator (lin[:, 1]) reduce the
-        # same edge set to the same dst ids — concat along D runs both
-        # through ONE scatter/CSR pass instead of two (the scatters are
-        # ~32% of step time, NOTES.md roofline)
-        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
-        sum_raw, mean_num = summed[..., :d], summed[..., d:]
+        agg_max, sum_raw, mean_num, cnt = self._middle_aggregates(
+            graph, SE, SSelf, w_mid, b_mid, dst_e
+        )
+        agg_max = agg_max + SSelf
         sum_raw = nn.Dropout(self.drop_aggr, name="drop_sum")(
             sum_raw, deterministic=not training
         )

@@ -1,0 +1,191 @@
+"""Compiled (non-interpret) Pallas kernel parity checks on the real TPU.
+
+The pytest suite runs every Pallas kernel in interpret mode on a virtual
+CPU mesh (tests/conftest.py forces the cpu platform); this script is the
+on-hardware complement: it compiles the kernels through Mosaic on the
+actual TPU and asserts the same parity contracts against the XLA
+baselines. Run manually whenever a kernel changes:
+
+    python scripts/tpu_kernel_check.py
+
+Exit 0 iff every check passes. Covers:
+  * blocked-CSR segment sum/max/mean, forward + gather-formulated VJP
+    (kernels/pallas_segment.py) vs kernels/segment.py XLA scatters;
+  * the MXU one-hot small-table gather backward (kernels/table.py) vs
+    jnp.take's scatter-add VJP;
+  * the BN-mix stage mega-kernel through a full LPSupernet training
+    step: megakernel=True vs False — loss, parameter grads, batch_stats
+    (kernels/bn_mix.py, custom VJP).
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _require_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: default backend is {jax.default_backend()!r}, not tpu")
+        sys.exit(0)
+
+
+def check_segment_csr() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.kernels.pallas_segment import (
+        CSRMeta,
+        build_blocked_csr,
+        segment_max_csr,
+        segment_mean_csr,
+        segment_sum_csr,
+    )
+    from mr_gnas_tpu.kernels.segment import segment_max, segment_mean, segment_sum
+
+    rng = np.random.default_rng(0)
+    e, n, d = 4096, 1024, 128
+    # skewed dst (hub nodes) + masked tail, like a sampled KG batch
+    dst = np.minimum(
+        (rng.pareto(1.2, size=e) * 40).astype(np.int32), n - 1
+    )
+    mask = (rng.random(e) > 0.1).astype(np.float32)
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    meta = CSRMeta.from_blocked(build_blocked_csr(dst, n, mask))
+    dstj, mj, xj = jnp.asarray(dst), jnp.asarray(mask), jnp.asarray(data)
+    g_out = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    cases = {
+        "sum": (
+            lambda x: segment_sum_csr(x, meta, dstj, mj, interpret=False),
+            lambda x: segment_sum(x, dstj, n, mj),
+        ),
+        "max": (
+            lambda x: segment_max_csr(x, meta, dstj, mj, interpret=False),
+            lambda x: segment_max(x, dstj, n, mj),
+        ),
+        "mean": (
+            lambda x: segment_mean_csr(x, meta, dstj, mj, interpret=False),
+            lambda x: segment_mean(x, dstj, n, mj),
+        ),
+    }
+    for name, (pallas_fn, xla_fn) in cases.items():
+        got, gotg = jax.jit(
+            lambda x: jax.value_and_grad(
+                lambda y: jnp.sum(pallas_fn(y) * g_out)
+            )(x)
+        )(xj)
+        want, wantg = jax.jit(
+            lambda x: jax.value_and_grad(lambda y: jnp.sum(xla_fn(y) * g_out))(x)
+        )(xj)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gotg, wantg, rtol=1e-5, atol=1e-5)
+        print(f"ok segment_{name}_csr compiled fwd+grad")
+
+
+def check_table_kernel() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.kernels.table import take_small_table
+
+    rng = np.random.default_rng(1)
+    n, r, d = 475, 9000, 200
+    table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=r).astype(np.int32))
+    g_out = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+
+    got = jax.jit(
+        jax.grad(lambda t: jnp.sum(take_small_table(t, idx, interpret=False) * g_out))
+    )(table)
+    want = jax.jit(
+        jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) * g_out))
+    )(table)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    print("ok take_small_table compiled MXU backward")
+
+
+def check_megakernel_step() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.cells import CellSpec, init_alphas
+    from mr_gnas_tpu.data import (
+        generate_sampled_graph_and_labels,
+        get_adj_and_degrees,
+        synthetic_kg,
+    )
+    from mr_gnas_tpu.graph.build import round_up
+    from mr_gnas_tpu.models import LPSupernet, lp_search_loss
+
+    rng = np.random.default_rng(2)
+    kg = synthetic_kg(num_ent=512, num_rels=11, n_train=2048, seed=0)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    batch = generate_sampled_graph_and_labels(
+        kg.train, 512, 0.5, kg.num_rels, adj, deg, 4, "uniform", rng,
+        n_nodes_pad=round_up(min(1024, kg.num_ent), 128),
+    )
+    spec = CellSpec(task="lp")
+
+    def build(mega):
+        return LPSupernet(
+            num_ent=kg.num_ent, num_rels=kg.num_rels, layers=2, spec=spec,
+            feature_dim=64, init_fea_dim=32, num_base_r=23,
+            dropout_cell=0.0, drop_aggr=0.0, megakernel=mega,
+        )
+
+    alphas = init_alphas(jax.random.key(0), spec, 2, with_final=True)
+    v = build(False).init(jax.random.key(1), batch.graph, alphas, False)
+    params, bstats = v["params"], v["batch_stats"]
+    trip, lab = jnp.asarray(batch.triplets), jnp.asarray(batch.labels)
+
+    def make_step(mega):
+        model = build(mega)
+
+        @jax.jit
+        def step(p):
+            def loss_fn(p):
+                (ent, rel), mut = model.apply(
+                    {"params": p, "batch_stats": bstats}, batch.graph, alphas,
+                    True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(5)},
+                )
+                return lp_search_loss(ent, rel, trip, lab), mut["batch_stats"]
+
+            (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            return l, bs, g
+
+        return step
+
+    l0, bs0, g0 = make_step(False)(params)
+    l1, bs1, g1 = make_step(True)(params)
+    np.testing.assert_allclose(l0, l1, rtol=2e-5)
+    for (k0, v0), (k1, v1) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(bs0), key=lambda x: str(x[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(bs1), key=lambda x: str(x[0])),
+    ):
+        np.testing.assert_allclose(
+            v0, v1, rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(k0)
+        )
+    for (k0, v0), (k1, v1) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda x: str(x[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda x: str(x[0])),
+    ):
+        np.testing.assert_allclose(
+            v0, v1, rtol=5e-3, atol=5e-4, err_msg=jax.tree_util.keystr(k0)
+        )
+    print(f"ok megakernel LPSupernet step compiled (loss {float(l0):.5f})")
+
+
+def main() -> None:
+    _require_tpu()
+    check_segment_csr()
+    check_table_kernel()
+    check_megakernel_step()
+    print("ALL TPU KERNEL CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from mr_gnas_tpu.cells import (
     parse_reference_genotypes,
 )
 from mr_gnas_tpu.graph import build_rel_graph
+import pytest
 
 D = 8
 REF_STR = (
@@ -29,6 +30,7 @@ def _graph():
     return build_rel_graph(t, num_nodes=4, num_rels=2, n_fwd_pad=8, n_nodes_pad=6)
 
 
+@pytest.mark.slow
 def test_supernet_cell_lp_forward(rng):
     g = _graph()
     spec = CellSpec(task="lp")

@@ -30,6 +30,7 @@ def _setup(rng):
     return g, spec, naive, fused, nv, fv_conv, w, h, hr
 
 
+@pytest.mark.slow
 def test_fused_param_shapes_match_own_init(rng):
     g, spec, naive, fused, nv, fv_conv, w, h, hr = _setup(rng)
     fv_own = fused.init(jax.random.key(0), g, h, hr, w, False)

@@ -6,6 +6,7 @@ import numpy as np
 from mr_gnas_tpu.cells import CellSpec, SupernetCell, init_alphas, layer_weights
 from mr_gnas_tpu.cells.fused import FusedSupernetCellNC, convert_naive_params_nc
 from mr_gnas_tpu.graph import EdgeGraph
+import pytest
 
 D = 8
 
@@ -33,6 +34,7 @@ def _setup(rng):
     return g, spec, naive, fused, nv, fv, w, h, hr
 
 
+@pytest.mark.slow
 def test_nc_fused_param_shapes(rng):
     g, spec, naive, fused, nv, fv, w, h, hr = _setup(rng)
     own = fused.init(jax.random.key(0), g, h, hr, w, False)

@@ -9,6 +9,7 @@ from mr_gnas_tpu.graph import build_rel_graph
 from mr_gnas_tpu.models.compgcn import CompGCN, CompGCNConvE
 from mr_gnas_tpu.train.losses import topk_accuracy, weighted_ce
 from mr_gnas_tpu.utils import to_ascii, to_dot
+import pytest
 
 GENO = (
     "Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
@@ -18,6 +19,7 @@ GENO = (
 )
 
 
+@pytest.mark.slow
 def test_compgcn_encoder_forward(rng):
     kg = synthetic_kg(num_ent=40, num_rels=3, n_train=120)
     g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
@@ -34,6 +36,7 @@ def test_compgcn_encoder_forward(rng):
     assert float(jnp.abs(n).max()) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_compgcn_conve_scores(rng):
     kg = synthetic_kg(num_ent=30, num_rels=3, n_train=90)
     g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)

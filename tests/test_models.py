@@ -80,6 +80,7 @@ def test_lp_supernet_forward_and_alpha_grads(rng):
     assert float(jnp.abs(emb_grad).sum()) > 0
 
 
+@pytest.mark.slow
 def test_lp_network_retrain_forward(rng):
     kg = synthetic_kg(num_ent=50, num_rels=3, n_train=150)
     g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
@@ -116,6 +117,7 @@ def test_lp_network_retrain_forward(rng):
     assert float(jnp.abs(grads["emb"]["embedding_h"]).sum()) > 0
 
 
+@pytest.mark.slow
 def test_lp_network_conve_head(rng):
     kg = synthetic_kg(num_ent=30, num_rels=3, n_train=100)
     g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
@@ -184,6 +186,7 @@ def test_nc_supernet_forward(rng):
     assert sum(float(jnp.abs(v).sum()) for v in ga.values()) > 0
 
 
+@pytest.mark.slow
 def test_nc_network_retrain_learns_synthetic(rng):
     """A compiled NC net should fit the synthetic majority-relation task."""
     import optax

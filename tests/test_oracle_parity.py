@@ -127,6 +127,7 @@ NC_DEFAULT = (
 )
 
 
+@pytest.mark.slow
 def test_nc_retrain_per_layer_parity(rng):
     """NC fixed-genotype network over real 2-hop blocks matches the torch
     oracle of models/model.py per layer (reference default AIFB genotype),

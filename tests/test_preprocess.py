@@ -5,6 +5,7 @@ import sys
 import numpy as np
 
 from mr_gnas_tpu.data import load_nc_dataset
+import pytest
 
 
 def test_edgelist_preprocess_roundtrip(tmp_path):
@@ -35,6 +36,7 @@ def test_edgelist_preprocess_roundtrip(tmp_path):
     assert la == lc
 
 
+@pytest.mark.slow
 def test_parity_trace_dump_compare(tmp_path):
     import json
 

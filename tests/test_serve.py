@@ -5,6 +5,7 @@ import numpy as np
 
 from mr_gnas_tpu.serve import Predictor
 from mr_gnas_tpu.train import LPTrainConfig, run_lp_train
+import pytest
 
 GENO = (
     "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
@@ -14,6 +15,7 @@ GENO = (
 )
 
 
+@pytest.mark.slow
 def test_predictor_from_checkpoint(tmp_path):
     cfg = LPTrainConfig(
         dataset="synthetic",
