@@ -35,6 +35,8 @@ def make_step(
     bf16: bool = False,
     pallas_agg: bool = False,
     megakernel: bool = False,
+    remat: bool = False,
+    csr_grads: bool = False,
 ):
     """Build the benchmark train step. Returns (train_step, state, inputs)
     where state = (params, bstats, opt_state) and
@@ -69,6 +71,17 @@ def make_step(
         from mr_gnas_tpu.graph.build import attach_csr
 
         batch = dataclasses.replace(batch, graph=attach_csr(batch.graph))
+    so_csr = None
+    if csr_grads:
+        # route the big embedding-gradient scatters (triplet (s,o) rows +
+        # per-layer src re-gathers) through the one-hot MXU backward
+        import dataclasses
+
+        from mr_gnas_tpu.graph.build import attach_gather_csr, index_csr
+
+        batch = dataclasses.replace(batch, graph=attach_gather_csr(batch.graph))
+        so_idx = np.concatenate([batch.triplets[:, 0], batch.triplets[:, 2]])
+        so_csr = index_csr(so_idx, batch.graph.n_nodes)
 
     spec = CellSpec(task="lp")
     model = LPSupernet(
@@ -83,6 +96,7 @@ def make_step(
         drop_aggr=0.1,
         compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
         megakernel=megakernel,
+        remat=remat,
     )
     alphas = init_alphas(jax.random.key(0), spec, layers, with_final=True)
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)
@@ -102,7 +116,7 @@ def make_step(
                 {"params": p, "batch_stats": bstats}, graph, alphas, True,
                 mutable=["batch_stats"], rngs={"dropout": key},
             )
-            return lp_search_loss(ent, rel, trip, lab), mut["batch_stats"]
+            return lp_search_loss(ent, rel, trip, lab, so_csr), mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)

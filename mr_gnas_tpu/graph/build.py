@@ -170,3 +170,28 @@ def attach_csr(graph: RelGraph, bn: int = 128, rb: int | None = None) -> RelGrap
             rb *= 2
     csr = build_blocked_csr(dst, graph.n_nodes, mask=mask, bn=bn, rb=rb)
     return _dc.replace(graph, csr=CSRMeta.from_blocked(csr))
+
+
+def index_csr(idx: np.ndarray, n_rows: int, bn: int = 128, rb: int = 512):
+    """Blocked CSR of an index array (segments = target-table rows) for
+    :func:`mr_gnas_tpu.kernels.pallas_segment.take_rows_csr` — the
+    MXU-formulated gather backward. No mask: every cotangent row lands on
+    ``table[idx[r]]``, exactly ``jnp.take``'s VJP."""
+    from mr_gnas_tpu.kernels.pallas_segment import CSRMeta, build_blocked_csr
+
+    return CSRMeta.from_blocked(
+        build_blocked_csr(np.asarray(idx), n_rows, mask=None, bn=bn, rb=rb)
+    )
+
+
+def attach_gather_csr(graph: RelGraph, bn: int = 128, rb: int = 512) -> RelGraph:
+    """Attach the blocked CSR of ``graph.src`` so the per-layer
+    ``ent_emb[src]`` re-gathers (model_search_lp.py:153) backprop through
+    the one-hot MXU sum instead of a scatter-add. Host-side, static per
+    graph (same compilation caveat as :func:`attach_csr`)."""
+    import dataclasses as _dc
+
+    import jax
+
+    src = np.asarray(jax.device_get(graph.src))
+    return _dc.replace(graph, src_csr=index_csr(src, graph.n_nodes, bn=bn, rb=rb))

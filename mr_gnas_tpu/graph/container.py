@@ -68,6 +68,11 @@ class RelGraph:
     # aggregators route through the Pallas segment kernels
     # (kernels/pallas_segment.py) instead of XLA scatters
     csr: object = None
+    # optional blocked-CSR of the src array itself (segments = node ids);
+    # when present, the per-layer ent_emb[src] re-gathers use
+    # take_rows_csr so their gradient is an MXU one-hot sum instead of a
+    # scatter-add (graph/build.attach_gather_csr)
+    src_csr: object = None
 
     @property
     def n_edge_rows(self) -> int:

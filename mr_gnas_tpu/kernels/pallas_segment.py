@@ -396,3 +396,46 @@ def segment_mean_csr(data, meta: CSRMeta, dst, mask, interpret: bool | None = No
     s = segment_sum_csr(data, meta, dst, mask, interpret)
     c = meta.counts
     return jnp.where(c[:, None] > 0, s / jnp.maximum(c[:, None], 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# CSR-backed row gather: jnp.take whose backward is the one-hot MXU sum
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_csr(interpret: bool, x, idx, meta: CSRMeta):
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_csr_fwd(interpret, x, idx, meta):
+    # zero-size dtype witness: residuals must be jax types, not dtypes
+    return jnp.take(x, idx, axis=0), (meta, idx, jnp.zeros((0,), x.dtype))
+
+
+def _take_csr_bwd(interpret, res, g):
+    meta, idx, x_proto = res
+    sorted_g = jnp.take(g.astype(jnp.float32), meta.perm, axis=0)
+    dx = _segment_csr_meta(sorted_g, meta, "sum", interpret)
+    return (dx.astype(x_proto.dtype), _zero_cot(idx), jax.tree.map(_zero_cot, meta))
+
+
+_take_csr.defvjp(_take_csr_fwd, _take_csr_bwd)
+
+
+def take_rows_csr(x, idx, meta: CSRMeta, interpret: bool | None = None):
+    """``jnp.take(x, idx, axis=0)`` whose backward replaces the XLA
+    scatter-add with the blocked-CSR one-hot MXU reduction.
+
+    For the big embedding-table gathers on the training hot path (the
+    triplet (s, o) rows and the per-layer ``ent_emb[graph.src]`` re-gather
+    — reference sites model_search_lp.py:153,171), whose gradient
+    scatters dominate the scatter category of the measured roofline.
+    ``meta`` must be the blocked CSR of ``idx`` with ``n_nodes ==
+    x.shape[0]`` and no mask (every cotangent row lands on ``x[idx[r]]``,
+    exactly ``jnp.take``'s VJP). Not differentiable w.r.t. ``idx``.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    assert meta.n_nodes == x.shape[0], (meta.n_nodes, x.shape)
+    return _take_csr(bool(interpret), x, idx, meta)

@@ -98,15 +98,32 @@ class LPSupernet(nn.Module):
         bn = MaskedBatchNorm(name="bn_h")  # single shared BN (model_search_lp.py:74)
         drop = nn.Dropout(self.dropout_cell, deterministic=not training)
 
+        def gather_src(table):
+            """Row re-gather table[graph.src] (model_search_lp.py:153);
+            MXU one-hot backward when the graph carries a src CSR."""
+            if graph.src_csr is not None:
+                from mr_gnas_tpu.kernels.pallas_segment import take_rows_csr
+
+                return take_rows_csr(table, graph.src, graph.src_csr)
+            return jnp.take(table, graph.src, axis=0)
+
         ent_emb = None
         for i in range(self.layers):
             w = layer_weights(alphas, self.spec, i)
             if i == 0:
-                ent_in = jnp.take(
-                    all_ent, jnp.take(graph.global_ids, graph.src, axis=0), axis=0
-                )
+                if graph.src_csr is not None:
+                    # two-hop: local-node rows first, so the big [R]-row
+                    # gather backprops through the CSR kernel and only the
+                    # small [n_nodes]-row hop scatters into the table
+                    ent_in = gather_src(
+                        jnp.take(all_ent, graph.global_ids, axis=0)
+                    )
+                else:
+                    ent_in = jnp.take(
+                        all_ent, jnp.take(graph.global_ids, graph.src, axis=0), axis=0
+                    )
             else:
-                ent_in = jnp.take(ent_emb, graph.src, axis=0)
+                ent_in = gather_src(ent_emb)
             hr = take_small_table(rel_embed, graph.etype)
             if self.fused:
                 from mr_gnas_tpu.cells.fused import FusedSupernetCellLP
@@ -263,30 +280,36 @@ class MixedScoreFn(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def _gather_sro(ent_emb, rel_embed, triplets):
+def _gather_sro(ent_emb, rel_embed, triplets, so_csr=None):
     """Gather (s, r, o) rows. Subject and object rows come from ONE take
     of the entity table so the backward pass emits a single scatter-add
     into ent_emb instead of two (triplet batches are B = edges*(1+neg)
-    rows — the largest scatter in the search step)."""
-    so = jnp.take(
-        ent_emb, jnp.concatenate([triplets[:, 0], triplets[:, 2]]), axis=0
-    )
+    rows — the largest scatter in the search step). When ``so_csr`` (the
+    blocked CSR of ``cat(s_ids, o_ids)``, graph/build.index_csr) is
+    given, that scatter becomes the one-hot MXU sum."""
+    so_idx = jnp.concatenate([triplets[:, 0], triplets[:, 2]])
+    if so_csr is not None:
+        from mr_gnas_tpu.kernels.pallas_segment import take_rows_csr
+
+        so = take_rows_csr(ent_emb, so_idx, so_csr)
+    else:
+        so = jnp.take(ent_emb, so_idx, axis=0)
     s, o = jnp.split(so, 2, axis=0)
     r = take_small_table(rel_embed, triplets[:, 1])
     return s, r, o
 
 
-def distmult_triplet_score(ent_emb, rel_embed, triplets):
+def distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr=None):
     """sum(s * r * o) per triplet — the hard-coded search-time score
     (model_search_lp.py:169-176)."""
-    s, r, o = _gather_sro(ent_emb, rel_embed, triplets)
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr)
     return jnp.sum(s * r * o, axis=1)
 
 
-def lp_search_loss(ent_emb, rel_embed, triplets, labels):
+def lp_search_loss(ent_emb, rel_embed, triplets, labels, so_csr=None):
     """BCE-with-logits over pos+neg sampled triplets
     (model_search_lp.py:181-194)."""
-    logits = distmult_triplet_score(ent_emb, rel_embed, triplets)
+    logits = distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr)
     return jnp.mean(optax_sigmoid_bce(logits, labels))
 
 
@@ -319,19 +342,25 @@ def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):
     return gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
 
 
-def mixed_triplet_score(ent_emb, rel_embed, triplets, sf_weights, gamma: float = 40.0):
+def mixed_triplet_score(
+    ent_emb, rel_embed, triplets, sf_weights, gamma: float = 40.0, so_csr=None
+):
     """Softmax-weighted mixture of triplet score functions (SF_OPS order:
     TransE, DistMult) — gives ``alphas['final']`` a gradient in the search
     loss, exceeding the reference where Cell_SF is allocated but unused
     (model_search_lp.py:160-161). The (s, r, o) rows are gathered once
     and shared by both score functions."""
-    s, r, o = _gather_sro(ent_emb, rel_embed, triplets)
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr)
     te = gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
     dm = jnp.sum(s * r * o, axis=1)
     return sf_weights[0] * te + sf_weights[1] * dm
 
 
-def lp_search_loss_sf(ent_emb, rel_embed, triplets, labels, sf_weights, gamma=40.0):
+def lp_search_loss_sf(
+    ent_emb, rel_embed, triplets, labels, sf_weights, gamma=40.0, so_csr=None
+):
     """BCE-with-logits over the mixed score-function logits."""
-    logits = mixed_triplet_score(ent_emb, rel_embed, triplets, sf_weights, gamma)
+    logits = mixed_triplet_score(
+        ent_emb, rel_embed, triplets, sf_weights, gamma, so_csr
+    )
     return jnp.mean(optax_sigmoid_bce(logits, labels))

@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/mrgnas_cat")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top-per-cat", type=int, default=4)
+    ap.add_argument("--csr-grads", action="store_true")
+    ap.add_argument("--pallas-agg", action="store_true")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +74,8 @@ def main():
     from bench import make_step
 
     train_step, (params, bstats, opt_state), (graph, trip, lab) = make_step(
-        bf16=args.bf16, graph_batch=args.graph_batch
+        bf16=args.bf16, graph_batch=args.graph_batch,
+        csr_grads=args.csr_grads, pallas_agg=args.pallas_agg, remat=args.remat,
     )
     key = jax.random.key(2)
     lowered = train_step.lower(params, bstats, opt_state, graph, trip, lab, key)
@@ -80,26 +84,33 @@ def main():
 
     # split optimized HLO into computations: "%name (params) -> ... {body}"
     comps: dict = {}
+    comps_raw: dict = {}  # with metadata, for source attribution
     cur = None
     buf: list = []
+    buf_raw: list = []
     meta_re = re.compile(r", metadata=\{[^}]*\}")
     for line in hlo.splitlines():
         m = re.match(r"^\s*%?([\w\.\-]+)\s*\(.*\)\s*->.*\{", line)
         if m:
             if cur:
                 comps[cur] = "\n".join(buf)
+                comps_raw[cur] = "\n".join(buf_raw)
             cur = m.group(1).rstrip(".")
             buf = []
+            buf_raw = []
         elif cur is not None:
             # strip metadata: its op_name strings contain "transpose(jvp"
             # and similar autodiff names that would poison classification
             buf.append(meta_re.sub("", line))
+            buf_raw.append(line)
     if cur:
         comps[cur] = "\n".join(buf)
+        comps_raw[cur] = "\n".join(buf_raw)
     # fusion instructions reference their computation via calls=%fused_x;
     # map instruction name -> fused computation body (line-wise: shapes can
     # be arbitrary tuples, so just grab name, 'fusion(', and calls=)
     inst2comp: dict = {}
+    inst2raw: dict = {}
     for line in hlo.splitlines():
         if " fusion(" not in line or "calls=" not in line:
             continue
@@ -107,6 +118,19 @@ def main():
         mc = re.search(r"calls=%?([\w\.\-]+)", line)
         if mn and mc:
             inst2comp[mn.group(1)] = comps.get(mc.group(1), "")
+            inst2raw[mn.group(1)] = comps_raw.get(mc.group(1), "")
+
+    src_re = re.compile(r'op_name="([^"]+)"')
+
+    def sources(base, k=2):
+        """Top-k source op_names in a fusion body, by frequency — the
+        'which model line produced this fusion' attribution."""
+        body = inst2raw.get(base) or comps_raw.get(base, "")
+        counts = defaultdict(int)
+        for m in src_re.finditer(body):
+            counts[m.group(1)] += 1
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:k]
+        return " | ".join(t[0][-90:] for t in top)
 
     def lookup(base, depth=0):
         body = inst2comp.get(base) or comps.get(base, "")
@@ -169,7 +193,8 @@ def main():
     for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {dur/1e3/n:8.3f} ms/step  {100*dur/max(total,1e-9):5.1f}%  {c}")
         for d, nm in sorted(cat_ops[c], reverse=True)[: args.top_per_cat]:
-            print(f"      {d/1e3/n:8.3f}   {nm[:100]}")
+            base = nm.split("(")[0].strip()
+            print(f"      {d/1e3/n:8.3f}   {nm[:60]}  <- {sources(base)}")
 
 
 if __name__ == "__main__":
