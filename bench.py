@@ -125,12 +125,17 @@ def make_step(
     return train_step, (params, bstats, opt_state), (batch.graph, trip, lab)
 
 
-def run_bench(steps: int = 20, warmup: int = 3, **kw) -> dict:
+def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", **kw) -> dict:
     import jax
 
     train_step, (params, bstats, opt_state), (graph, trip, lab) = make_step(**kw)
     batch_graph = graph
-    key = jax.random.key(2)
+    # rng_impl="rbg" routes the per-step dropout bits through the TPU
+    # hardware RNG instead of software threefry (the profiled step spends
+    # multiple ms/step generating threefry bits for the [rows,200]
+    # dropout masks — NOTES.md roofline). Init keys stay threefry so
+    # parameter initialization is unchanged.
+    key = jax.random.key(2, impl=rng_impl)
     # edge rows actually processed per step (real fwd+inv rows)
     n_edges = int(np.asarray(batch_graph.edge_mask).sum())
 

@@ -182,11 +182,16 @@ class FusedSupernetCellLP(nn.Module):
             ).astype(SE.dtype)
             + b_mid[..., None, :].astype(SE.dtype)
         )
-        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, edge_mask))
-        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, edge_mask))
+        # padded edge rows already route to the dummy segment by the
+        # RelGraph dst contract (graph/container.py:40, build.py:96), so
+        # the segment ops need no [M, E, D] mask slabs — mask=None skips
+        # the where/mul passes in BOTH directions (the profiled step spent
+        # ~4 ms/step on them, NOTES.md roofline)
+        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, None))
+        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, None))
         from mr_gnas_tpu.kernels.segment import segment_count
 
-        cnt = segment_count(dst_e, graph.n_nodes, edge_mask)
+        cnt = segment_count(dst_e, graph.n_nodes, None)
         agg_max = vmax(lin[:, 0])
         # one scatter pass for a_sum's input and a_mean's numerator
         d = SE.shape[-1]
@@ -710,15 +715,17 @@ class FusedSupernetCellNC(nn.Module):
             ).astype(S.dtype)
             + ab[..., None, :].astype(S.dtype)
         )
-        vmax = jax.vmap(lambda x: segment_max(x, graph.dst, graph.n_nodes, edge_mask))
-        vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, graph.n_nodes, edge_mask))
+        # padded block edges route to the dummy segment (blocks.py:123),
+        # so no [M, E, D] mask slabs are needed (see the LP middle stage)
+        vmax = jax.vmap(lambda x: segment_max(x, graph.dst, graph.n_nodes, None))
+        vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, graph.n_nodes, None))
         from mr_gnas_tpu.kernels.segment import segment_count
 
         # one scatter pass for a_sum's input and a_mean's numerator (see
         # the LP cell's middle stage)
         summed = vsum(jnp.concatenate([S, lin[:, 1]], axis=-1))
         a_sum, mean_num = summed[..., :d], summed[..., d:]
-        cnt = segment_count(graph.dst, graph.n_nodes, edge_mask)
+        cnt = segment_count(graph.dst, graph.n_nodes, None)
         a_mean = jnp.where(
             cnt[:, None] > 0,
             mean_num / jnp.maximum(cnt[:, None], 1.0).astype(mean_num.dtype),

@@ -25,8 +25,10 @@ def gather_rows(node_feat: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather per-row features from a node table: node_feat[idx].
 
     The ``copy_edge``/edge-materialization half of a relation-typed SpMM.
+    mode="clip" skips jnp.take's fill-select pass (indices are in-bounds
+    by the RelGraph/Block contracts).
     """
-    return jnp.take(node_feat, idx, axis=0)
+    return jnp.take(node_feat, idx, axis=0, mode="clip")
 
 
 def segment_sum(

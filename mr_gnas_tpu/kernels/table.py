@@ -91,11 +91,11 @@ def _interpret_default() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _take_mxu(interpret: bool, n_rows: int, table, idx):
-    return jnp.take(table, idx, axis=0)
+    return jnp.take(table, idx, axis=0, mode="clip")
 
 
 def _take_mxu_fwd(interpret, n_rows, table, idx):
-    return jnp.take(table, idx, axis=0), idx
+    return jnp.take(table, idx, axis=0, mode="clip"), idx
 
 
 def _take_mxu_bwd(interpret, n_rows, idx, g):
@@ -118,6 +118,6 @@ def take_small_table(table, idx, interpret: bool | None = None):
     """
     if interpret is None:
         if _interpret_default():
-            return jnp.take(table, idx, axis=0)
+            return jnp.take(table, idx, axis=0, mode="clip")
         interpret = False
     return _take_mxu(bool(interpret), table.shape[0], table, idx)

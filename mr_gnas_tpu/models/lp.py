@@ -105,7 +105,10 @@ class LPSupernet(nn.Module):
                 from mr_gnas_tpu.kernels.pallas_segment import take_rows_csr
 
                 return take_rows_csr(table, graph.src, graph.src_csr)
-            return jnp.take(table, graph.src, axis=0)
+            # mode="clip": indices are in-bounds by the RelGraph contract,
+            # and the default fill mode adds a [R, D] select pass to every
+            # gather (and its backward) — measurable on the profiled step
+            return jnp.take(table, graph.src, axis=0, mode="clip")
 
         ent_emb = None
         for i in range(self.layers):
@@ -116,11 +119,14 @@ class LPSupernet(nn.Module):
                     # gather backprops through the CSR kernel and only the
                     # small [n_nodes]-row hop scatters into the table
                     ent_in = gather_src(
-                        jnp.take(all_ent, graph.global_ids, axis=0)
+                        jnp.take(all_ent, graph.global_ids, axis=0, mode="clip")
                     )
                 else:
                     ent_in = jnp.take(
-                        all_ent, jnp.take(graph.global_ids, graph.src, axis=0), axis=0
+                        all_ent,
+                        jnp.take(graph.global_ids, graph.src, axis=0, mode="clip"),
+                        axis=0,
+                        mode="clip",
                     )
             else:
                 ent_in = gather_src(ent_emb)
@@ -229,8 +235,11 @@ class LPNetwork(nn.Module):
         for i, cell in enumerate(self.cells):
             ent_in = jnp.take(
                 ent_emb,
-                jnp.take(graph.global_ids, graph.src, axis=0) if i == 0 else graph.src,
+                jnp.take(graph.global_ids, graph.src, axis=0, mode="clip")
+                if i == 0
+                else graph.src,
                 axis=0,
+                mode="clip",
             )
             hr = take_small_table(rel_embed, graph.etype)
             ent_emb = cell(graph, ent_in, hr, training)
@@ -248,7 +257,7 @@ class LPNetwork(nn.Module):
 
     def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
         ent_emb, rel_embed = self.encode(graph, training)
-        sub_emb = jnp.take(ent_emb, subj, axis=0)
+        sub_emb = jnp.take(ent_emb, subj, axis=0, mode="clip")
         rel_emb = take_small_table(rel_embed, rel)
         return self.score_fn(ent_emb, sub_emb, rel_emb, training)
 
@@ -293,7 +302,8 @@ def _gather_sro(ent_emb, rel_embed, triplets, so_csr=None):
 
         so = take_rows_csr(ent_emb, so_idx, so_csr)
     else:
-        so = jnp.take(ent_emb, so_idx, axis=0)
+        # mode="clip" (in-bounds by construction) skips the fill-select
+        so = jnp.take(ent_emb, so_idx, axis=0, mode="clip")
     s, o = jnp.split(so, 2, axis=0)
     r = take_small_table(rel_embed, triplets[:, 1])
     return s, r, o

@@ -44,7 +44,9 @@ class _NCEmbeddings(nn.Module):
         rel_wt = xavier_relu_param(self, "rel_wt", (self.num_rels, self.num_base_r))
         # per-edge src embedding: h_init(embedding_h[src]) (model_search.py:160)
         src_embed = dense(self.feature_dim, use_bias=False, name="h_init")(
-            jnp.take(emb_h, src_gid, axis=0)
+            # mode="clip": block ids are in-bounds by construction; the
+            # default fill mode adds a select pass to the gather + backward
+            jnp.take(emb_h, src_gid, axis=0, mode="clip")
         )
         # per-edge rel embedding: e_init(rel_wt[etype] @ embedding_e)
         # (model_search.py:164). Regrouped as (rel_wt @ embedding_e)[etype]
@@ -117,7 +119,7 @@ class NCSupernet(nn.Module):
             node_embed = cell(g, src_embed, edges_embed, w, training)
             if i + 1 < len(blocks):
                 # next layer's per-edge src rows, gathered by position
-                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0)
+                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0, mode="clip")
 
         h = MaskedBatchNorm(name="bn_h")(
             node_embed, blocks[-1].dst_mask, training
@@ -166,7 +168,7 @@ class NCNetwork(nn.Module):
             )
             node_embed = cell(g, src_embed, edges_embed, training)
             if i + 1 < len(blocks):
-                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0)
+                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0, mode="clip")
 
         h = MaskedBatchNorm(name="bn_h")(node_embed, blocks[-1].dst_mask, training)
         h = jax.nn.relu(h)
