@@ -93,8 +93,13 @@ class FusedSupernetCellLP(nn.Module):
         if training:
             m = mask[:, None]
             cnt = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(xf * m, axis=-2) / cnt
-            var = jnp.sum(((xf - mean[..., None, :]) ** 2) * m, axis=-2) / cnt
+            # one-pass stats: sum and sumsq share the slab read (the
+            # two-pass (x-mean)^2 form costs a second [p, K, R, D] HBM
+            # pass; f32 accumulation keeps E[x^2]-m^2 accurate at these
+            # row counts)
+            xm = xf * m
+            mean = jnp.sum(xm, axis=-2) / cnt
+            var = jnp.maximum(jnp.sum(xm * xf, axis=-2) / cnt - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 rm.value = rm.value.at[sl, op_sl].set(

@@ -38,6 +38,11 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((d,), jnp.float32)
         )
         if training:
+            # two-pass (mean, then (x-mean)^2) on purpose: this BN is the
+            # torch-parity anchor for the retrain networks; the fused
+            # supernet cells use the one-pass (sum, sumsq) form instead
+            # (cells/fused.py _bn_apply) where the [p, K, R, D] slab read
+            # dominates and the reassociation stays inside test tolerance
             if mask is None:
                 cnt = jnp.asarray(x.shape[0], jnp.float32)
                 mean = jnp.mean(x, axis=0)
