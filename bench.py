@@ -165,12 +165,16 @@ def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", 
 
 def main():
     # headline: the tuned TPU configuration (bf16 compute in the fused
-    # cells, 32k-edge sampled graphs — larger search batches amortize the
+    # cells, 64k-edge sampled graphs — larger search batches amortize the
     # node-section rows AND are higher-fidelity search steps; see
-    # NOTES.md round-2 roofline). The round-1 fixed workload (f32, 4096)
-    # is re-measured into detail.fixed_workload for continuity.
-    out = run_bench(bf16=True, graph_batch=32768)
-    fixed = run_bench(bf16=False, graph_batch=4096, steps=20)
+    # NOTES.md round-2 roofline; 64k is within 2% of the measured
+    # batch-scaling asymptote at half the step latency of 128k). The
+    # round-1 fixed workload (f32, 4096) is re-measured into
+    # detail.fixed_workload for continuity.
+    out = run_bench(bf16=True, graph_batch=65536)
+    # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
+    # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
+    fixed = run_bench(bf16=False, graph_batch=4096, steps=50)
     out["fixed_workload"] = {
         "edges_per_sec": round(fixed["edges_per_sec"], 1),
         "step_ms": round(fixed["step_ms"], 3),
