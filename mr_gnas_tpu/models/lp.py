@@ -289,13 +289,23 @@ class MixedScoreFn(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def _gather_sro(ent_emb, rel_embed, triplets, so_csr=None):
+def _gather_sro(ent_emb, rel_embed, triplets, so_csr=None, dtype=None):
     """Gather (s, r, o) rows. Subject and object rows come from ONE take
     of the entity table so the backward pass emits a single scatter-add
     into ent_emb instead of two (triplet batches are B = edges*(1+neg)
     rows — the largest scatter in the search step). When ``so_csr`` (the
     blocked CSR of ``cat(s_ids, o_ids)``, graph/build.index_csr) is
-    given, that scatter becomes the one-hot MXU sum."""
+    given, that scatter becomes the one-hot MXU sum.
+
+    ``dtype`` (e.g. bf16) casts the tables BEFORE the gather, halving the
+    bytes of the [2B, D] gather, the score products, and — dominant — the
+    backward grad scatter-add into the entity table (the single largest
+    fusion of the profiled bf16 search step, NOTES.md roofline). Score
+    reductions still accumulate in f32; the grad scatter then accumulates
+    in ``dtype`` (a documented deviation of the bf16 compute path)."""
+    if dtype is not None:
+        ent_emb = ent_emb.astype(dtype)
+        rel_embed = rel_embed.astype(dtype)
     so_idx = jnp.concatenate([triplets[:, 0], triplets[:, 2]])
     if so_csr is not None:
         from mr_gnas_tpu.kernels.pallas_segment import take_rows_csr
@@ -309,17 +319,17 @@ def _gather_sro(ent_emb, rel_embed, triplets, so_csr=None):
     return s, r, o
 
 
-def distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr=None):
+def distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr=None, dtype=None):
     """sum(s * r * o) per triplet — the hard-coded search-time score
-    (model_search_lp.py:169-176)."""
-    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr)
-    return jnp.sum(s * r * o, axis=1)
+    (model_search_lp.py:169-176). Accumulates in f32."""
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr, dtype)
+    return jnp.sum(s * r * o, axis=1, dtype=jnp.float32)
 
 
-def lp_search_loss(ent_emb, rel_embed, triplets, labels, so_csr=None):
+def lp_search_loss(ent_emb, rel_embed, triplets, labels, so_csr=None, dtype=None):
     """BCE-with-logits over pos+neg sampled triplets
     (model_search_lp.py:181-194)."""
-    logits = distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr)
+    logits = distmult_triplet_score(ent_emb, rel_embed, triplets, so_csr, dtype)
     return jnp.mean(optax_sigmoid_bce(logits, labels))
 
 
@@ -353,24 +363,26 @@ def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):
 
 
 def mixed_triplet_score(
-    ent_emb, rel_embed, triplets, sf_weights, gamma: float = 40.0, so_csr=None
+    ent_emb, rel_embed, triplets, sf_weights, gamma: float = 40.0, so_csr=None,
+    dtype=None,
 ):
     """Softmax-weighted mixture of triplet score functions (SF_OPS order:
     TransE, DistMult) — gives ``alphas['final']`` a gradient in the search
     loss, exceeding the reference where Cell_SF is allocated but unused
     (model_search_lp.py:160-161). The (s, r, o) rows are gathered once
     and shared by both score functions."""
-    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr)
-    te = gamma - jnp.sum(jnp.abs((s + r) - o), axis=1)
-    dm = jnp.sum(s * r * o, axis=1)
+    s, r, o = _gather_sro(ent_emb, rel_embed, triplets, so_csr, dtype)
+    te = gamma - jnp.sum(jnp.abs((s + r) - o), axis=1, dtype=jnp.float32)
+    dm = jnp.sum(s * r * o, axis=1, dtype=jnp.float32)
     return sf_weights[0] * te + sf_weights[1] * dm
 
 
 def lp_search_loss_sf(
-    ent_emb, rel_embed, triplets, labels, sf_weights, gamma=40.0, so_csr=None
+    ent_emb, rel_embed, triplets, labels, sf_weights, gamma=40.0, so_csr=None,
+    dtype=None,
 ):
     """BCE-with-logits over the mixed score-function logits."""
     logits = mixed_triplet_score(
-        ent_emb, rel_embed, triplets, sf_weights, gamma, so_csr
+        ent_emb, rel_embed, triplets, sf_weights, gamma, so_csr, dtype
     )
     return jnp.mean(optax_sigmoid_bce(logits, labels))

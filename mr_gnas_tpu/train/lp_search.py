@@ -140,13 +140,18 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         log.info("resuming search at epoch %s from %s", start_epoch, cfg.checkpoint)
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
+    # bf16 runs the triplet path (gather + score products + grad
+    # scatter-add, the largest fusions of the profiled step) at half
+    # bytes; reductions accumulate f32 (models/lp._gather_sro)
+    loss_dt = _jnp.bfloat16 if cfg.bf16 else None
+
     def score_loss(e, r, alphas, trip, lab):
         if cfg.search_score_fn:
             from mr_gnas_tpu.models.lp import lp_search_loss_sf
 
             sf_w = jax.nn.softmax(alphas["final"][0])
-            return lp_search_loss_sf(e, r, trip, lab, sf_w, cfg.gamma)
-        return lp_search_loss(e, r, trip, lab)
+            return lp_search_loss_sf(e, r, trip, lab, sf_w, cfg.gamma, dtype=loss_dt)
+        return lp_search_loss(e, r, trip, lab, dtype=loss_dt)
 
     def loss_fn(params, bstats, alphas, graph, trip, lab, dkey, training=True):
         out = model.apply(

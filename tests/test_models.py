@@ -267,3 +267,44 @@ def test_conve_dim_mismatch_raises_clearly(rng):
         net.init(
             jax.random.key(0), g, jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32)
         )
+
+
+def test_search_loss_bf16_path_matches_f32(rng):
+    """dtype=bf16 in the triplet score path (half-byte gather/products/
+    grad-scatter, models/lp._gather_sro) must track the f32 loss closely
+    and produce finite grads; dtype=None must be bitwise-identical to the
+    original formulation."""
+    import numpy as np
+
+    from mr_gnas_tpu.models.lp import lp_search_loss, lp_search_loss_sf
+
+    k = jax.random.key(0)
+    ent = jax.random.normal(k, (64, 32))
+    rel = jax.random.normal(jax.random.key(1), (11, 32))
+    trip = jnp.stack(
+        [
+            jax.random.randint(jax.random.key(2), (200,), 0, 64),
+            jax.random.randint(jax.random.key(3), (200,), 0, 11),
+            jax.random.randint(jax.random.key(4), (200,), 0, 64),
+        ],
+        axis=1,
+    )
+    lab = (jax.random.uniform(jax.random.key(5), (200,)) < 0.5).astype(jnp.float32)
+
+    f32 = lp_search_loss(ent, rel, trip, lab)
+    bf = lp_search_loss(ent, rel, trip, lab, dtype=jnp.bfloat16)
+    assert bf.dtype == jnp.float32
+    np.testing.assert_allclose(float(f32), float(bf), rtol=2e-2)
+
+    g = jax.grad(lambda e: lp_search_loss(e, rel, trip, lab, dtype=jnp.bfloat16))(ent)
+    assert g.dtype == ent.dtype  # cast-bwd restores the table dtype
+    assert bool(jnp.all(jnp.isfinite(g)))
+    g32 = jax.grad(lambda e: lp_search_loss(e, rel, trip, lab))(ent)
+    # bf16 grad accumulation stays within ~1% of f32 on this scale
+    rel_err = float(jnp.linalg.norm(g - g32) / jnp.linalg.norm(g32))
+    assert rel_err < 2e-2
+
+    sf_w = jnp.array([0.3, 0.7])
+    s32 = lp_search_loss_sf(ent, rel, trip, lab, sf_w)
+    sbf = lp_search_loss_sf(ent, rel, trip, lab, sf_w, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(s32), float(sbf), rtol=2e-2)
