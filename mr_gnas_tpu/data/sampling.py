@@ -103,6 +103,29 @@ def negative_sampling(
     return np.concatenate((pos_samples, neg_samples)), labels
 
 
+def negative_sampling_grouped(
+    pos_samples: np.ndarray, num_entity: int, negative_rate: int,
+    rng: np.random.Generator,
+):
+    """Grouped negatives: per positive, exactly ``negative_rate // 2``
+    corrupted heads and ``negative_rate - negative_rate // 2`` corrupted
+    tails, returned as [P, nh] / [P, nt] entity-id arrays.
+
+    Same corruption distribution as :func:`negative_sampling`
+    (utils_rgcn.py:191-204) except the head-vs-tail choice is a fixed
+    half/half split per positive instead of per-row Bernoulli(0.5) — a
+    documented deviation that lets the loss share each positive's
+    uncorrupted (s ⊙ r) / (r ⊙ o) row across its negative group, cutting
+    the entity-table gather AND the grad scatter-add rows ~2x (the
+    single largest fusion of the profiled search step, NOTES.md)."""
+    p = len(pos_samples)
+    nh = negative_rate // 2
+    nt = negative_rate - nh
+    neg_heads = rng.integers(num_entity, size=(p, nh))
+    neg_tails = rng.integers(num_entity, size=(p, nt))
+    return neg_heads.astype(np.int32), neg_tails.astype(np.int32)
+
+
 @dataclasses.dataclass
 class SampledBatch:
     """One LP search step's device inputs."""
@@ -110,6 +133,11 @@ class SampledBatch:
     graph: RelGraph
     triplets: np.ndarray  # [T, 3] local (s, r, o), T = sample_size*(1+neg)
     labels: np.ndarray  # [T] 1/0
+    # grouped-negative mode (see negative_sampling_grouped): triplets
+    # holds ONLY the positives [P, 3], labels is empty, and these carry
+    # the per-positive corrupted entity ids
+    neg_heads: np.ndarray | None = None  # [P, neg//2]
+    neg_tails: np.ndarray | None = None  # [P, neg - neg//2]
 
 
 def generate_sampled_graph_and_labels(
@@ -124,10 +152,12 @@ def generate_sampled_graph_and_labels(
     rng: np.random.Generator | None = None,
     n_nodes_pad: int | None = None,
     n_fwd_pad: int | None = None,
+    grouped: bool = False,
 ) -> SampledBatch:
     """Sample edges, relabel compactly, negative-sample, split graph-vs-
     supervision halves, and build the padded training RelGraph
-    (utils_rgcn.py:79-118)."""
+    (utils_rgcn.py:79-118). ``grouped=True`` emits per-positive negative
+    groups (negative_sampling_grouped) for the grouped search loss."""
     rng = rng or np.random.default_rng()
     if sampler == "uniform":
         edges = sample_edge_uniform(len(triplets), sample_size, rng)
@@ -144,7 +174,15 @@ def generate_sampled_graph_and_labels(
     src, dst = np.reshape(inv, (2, -1))
     relabeled = np.stack((src, rel, dst)).T
 
-    samples, labels = negative_sampling(relabeled, len(uniq_v), negative_rate, rng)
+    if grouped:
+        neg_heads, neg_tails = negative_sampling_grouped(
+            relabeled, len(uniq_v), negative_rate, rng
+        )
+        samples = relabeled
+        labels = np.ones(len(relabeled), dtype=np.float32)
+    else:
+        neg_heads = neg_tails = None
+        samples, labels = negative_sampling(relabeled, len(uniq_v), negative_rate, rng)
 
     n_graph = int(sample_size * split_size)
     graph_ids = rng.choice(np.arange(sample_size), size=n_graph, replace=False)
@@ -160,4 +198,7 @@ def generate_sampled_graph_and_labels(
         n_nodes_pad=n_nodes_pad,
         global_ids=uniq_v,
     )
-    return SampledBatch(graph=graph, triplets=samples.astype(np.int32), labels=labels)
+    return SampledBatch(
+        graph=graph, triplets=samples.astype(np.int32), labels=labels,
+        neg_heads=neg_heads, neg_tails=neg_tails,
+    )

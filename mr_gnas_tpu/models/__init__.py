@@ -6,6 +6,7 @@ from mr_gnas_tpu.models.lp import (
     bce_probs_loss,
     distmult_triplet_score,
     lp_search_loss,
+    lp_search_loss_grouped,
 )
 from mr_gnas_tpu.models.nc import NCNetwork, NCSupernet, nc_accuracy, nc_loss
 
@@ -20,6 +21,7 @@ __all__ = [
     "bce_probs_loss",
     "distmult_triplet_score",
     "lp_search_loss",
+    "lp_search_loss_grouped",
     "nc_accuracy",
     "nc_loss",
 ]

@@ -333,6 +333,64 @@ def lp_search_loss(ent_emb, rel_embed, triplets, labels, so_csr=None, dtype=None
     return jnp.mean(optax_sigmoid_bce(logits, labels))
 
 
+def lp_search_loss_grouped(
+    ent_emb, rel_embed, pos, neg_heads, neg_tails, dtype=None,
+    sf_weights=None, gamma: float = 40.0,
+):
+    """BCE-with-logits over positives + grouped negatives — the same
+    objective as :func:`lp_search_loss` on the
+    ``negative_sampling_grouped`` layout (data/sampling.py): per
+    positive, its ``(s ⊙ r)`` / ``(r ⊙ o)`` row is computed ONCE and
+    scored against the whole negative group as a batched contraction.
+
+    vs the flat layout this cuts the entity-table gather and the
+    backward grad scatter-add from ``2·P·(1+neg)`` to ``2·P + P·neg``
+    rows and the relation gather from ``P·(1+neg)`` to ``P`` rows — the
+    flat path's scatter-add is the single largest fusion of the profiled
+    search step and is row- (not byte-) bound (NOTES.md roofline).
+    Mean semantics match the reference's mean over all pos+neg rows
+    (model_search_lp.py:181-194). ``sf_weights`` switches the logits to
+    the searched TransE/DistMult mixture (SF_OPS order), the grouped
+    form of :func:`mixed_triplet_score`."""
+    if dtype is not None:
+        ent_emb = ent_emb.astype(dtype)
+        rel_embed = rel_embed.astype(dtype)
+    p, nh = neg_heads.shape
+    nt = neg_tails.shape[1]
+    so = jnp.take(ent_emb, jnp.concatenate([pos[:, 0], pos[:, 2]]), axis=0, mode="clip")
+    s, o = jnp.split(so, 2, axis=0)
+    r = take_small_table(rel_embed, pos[:, 1])
+    sr = s * r
+    ro = r * o
+    # direct 2-D takes (no concat/ravel/reshape round-trips) and
+    # broadcast-mul-reduce (fuses into the gather consumer; an einsum
+    # here lowers to a tiny-batch matmul with layout flips — measured
+    # slower)
+    nt_rows = jnp.take(ent_emb, neg_tails, axis=0, mode="clip")  # [p, nt, D]
+    nh_rows = jnp.take(ent_emb, neg_heads, axis=0, mode="clip")  # [p, nh, D]
+    pos_logit = jnp.sum(sr * o, axis=1, dtype=jnp.float32)
+    logits_t = jnp.sum(sr[:, None, :] * nt_rows, axis=-1, dtype=jnp.float32)
+    logits_h = jnp.sum(ro[:, None, :] * nh_rows, axis=-1, dtype=jnp.float32)
+    if sf_weights is not None:
+        # grouped TransE shares (s + r) / (o - r) per group the same way
+        srs, ord_ = s + r, o - r
+        te_pos = gamma - jnp.sum(jnp.abs(srs - o), axis=1, dtype=jnp.float32)
+        te_t = gamma - jnp.sum(
+            jnp.abs(srs[:, None, :] - nt_rows), axis=-1, dtype=jnp.float32
+        )
+        te_h = gamma - jnp.sum(
+            jnp.abs(nh_rows - ord_[:, None, :]), axis=-1, dtype=jnp.float32
+        )
+        w_te, w_dm = sf_weights[0], sf_weights[1]
+        pos_logit = w_te * te_pos + w_dm * pos_logit
+        logits_t = w_te * te_t + w_dm * logits_t
+        logits_h = w_te * te_h + w_dm * logits_h
+    pos_bce = optax_sigmoid_bce(pos_logit, jnp.ones_like(pos_logit))
+    neg_logits = jnp.concatenate([logits_t.ravel(), logits_h.ravel()])
+    neg_bce = optax_sigmoid_bce(neg_logits, jnp.zeros_like(neg_logits))
+    return (jnp.sum(pos_bce) + jnp.sum(neg_bce)) / (p * (1 + nh + nt))
+
+
 def optax_sigmoid_bce(logits, labels):
     """Numerically stable binary cross entropy with logits."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

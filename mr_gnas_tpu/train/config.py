@@ -90,6 +90,12 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # the search loss so alphas['final'] gets a gradient and the decoded
     # genotype carries a searched score_func — exceeds the reference,
     # which allocates Cell_SF but never uses it (model_search_lp.py:160)
+    grouped_negatives: bool = True  # grouped negative layout: exactly
+    # neg//2 corrupted heads + the rest tails PER positive (instead of
+    # the reference's per-row Bernoulli side choice, utils_rgcn.py:198)
+    # so each positive's (s*r)/(r*o) row is shared across its group —
+    # same BCE objective (tests/test_models.py equivalence), ~16% faster
+    # steps on TPU (NOTES.md). False restores the reference layout.
 
 
 @dataclasses.dataclass

@@ -75,6 +75,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
             n_fwd_pad=round_up(int(bs * cfg.graph_split_size), data_n),
+            grouped=cfg.grouped_negatives,
         )
         if mesh is not None:
             import dataclasses
@@ -146,10 +147,20 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     loss_dt = _jnp.bfloat16 if cfg.bf16 else None
 
     def score_loss(e, r, alphas, trip, lab):
-        if cfg.search_score_fn:
+        sf_w = (
+            jax.nn.softmax(alphas["final"][0]) if cfg.search_score_fn else None
+        )
+        if cfg.grouped_negatives:
+            from mr_gnas_tpu.models.lp import lp_search_loss_grouped
+
+            nh, nt = lab
+            return lp_search_loss_grouped(
+                e, r, trip, nh, nt, dtype=loss_dt, sf_weights=sf_w,
+                gamma=cfg.gamma,
+            )
+        if sf_w is not None:
             from mr_gnas_tpu.models.lp import lp_search_loss_sf
 
-            sf_w = jax.nn.softmax(alphas["final"][0])
             return lp_search_loss_sf(e, r, trip, lab, sf_w, cfg.gamma, dtype=loss_dt)
         return lp_search_loss(e, r, trip, lab, dtype=loss_dt)
 
@@ -246,9 +257,15 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         batch = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, ep_rng)
         batch_val = sample(kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val, ep_rng)
         trip = jnp.asarray(batch.triplets)
-        lab = jnp.asarray(batch.labels)
         trip_v = jnp.asarray(batch_val.triplets)
-        lab_v = jnp.asarray(batch_val.labels)
+        if cfg.grouped_negatives:
+            lab = (jnp.asarray(batch.neg_heads), jnp.asarray(batch.neg_tails))
+            lab_v = (
+                jnp.asarray(batch_val.neg_heads), jnp.asarray(batch_val.neg_tails)
+            )
+        else:
+            lab = jnp.asarray(batch.labels)
+            lab_v = jnp.asarray(batch_val.labels)
 
         if epoch >= cfg.warm_epochs:
             if cfg.unrolled:

@@ -308,3 +308,125 @@ def test_search_loss_bf16_path_matches_f32(rng):
     s32 = lp_search_loss_sf(ent, rel, trip, lab, sf_w)
     sbf = lp_search_loss_sf(ent, rel, trip, lab, sf_w, dtype=jnp.bfloat16)
     np.testing.assert_allclose(float(s32), float(sbf), rtol=2e-2)
+
+
+def test_grouped_search_loss_equals_flat(rng):
+    """lp_search_loss_grouped on the grouped layout must equal
+    lp_search_loss on the equivalent flat (tiled) triplet layout —
+    same objective, restructured for shared (s*r)/(r*o) rows."""
+    import numpy as np
+
+    from mr_gnas_tpu.models.lp import lp_search_loss, lp_search_loss_grouped
+
+    nprng = np.random.default_rng(0)
+    P, nh, nt, ne, nr, d = 50, 2, 3, 40, 7, 16
+    pos = np.stack(
+        [
+            nprng.integers(ne, size=P),
+            nprng.integers(nr, size=P),
+            nprng.integers(ne, size=P),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    neg_heads = nprng.integers(ne, size=(P, nh)).astype(np.int32)
+    neg_tails = nprng.integers(ne, size=(P, nt)).astype(np.int32)
+
+    # equivalent flat layout: positives then per-group corrupted copies
+    flats = [pos]
+    for j in range(nt):
+        t = pos.copy()
+        t[:, 2] = neg_tails[:, j]
+        flats.append(t)
+    for j in range(nh):
+        t = pos.copy()
+        t[:, 0] = neg_heads[:, j]
+        flats.append(t)
+    flat = np.concatenate(flats)
+    labels = np.zeros(len(flat), dtype=np.float32)
+    labels[:P] = 1
+
+    ent = jax.random.normal(jax.random.key(0), (ne, d))
+    rel = jax.random.normal(jax.random.key(1), (nr, d))
+
+    lf = lp_search_loss(ent, rel, jnp.asarray(flat), jnp.asarray(labels))
+    lg = lp_search_loss_grouped(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+    )
+    np.testing.assert_allclose(float(lf), float(lg), rtol=1e-5)
+
+    gf = jax.grad(lambda e: lp_search_loss(e, rel, jnp.asarray(flat), jnp.asarray(labels)))(ent)
+    gg = jax.grad(
+        lambda e: lp_search_loss_grouped(
+            e, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+        )
+    )(ent)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gg), rtol=1e-4, atol=1e-6)
+
+
+def test_sampler_grouped_mode(rng):
+    """grouped=True emits positives-only triplets plus per-positive
+    negative-group arrays with in-range local entity ids."""
+    import numpy as np
+
+    from mr_gnas_tpu.data import (
+        generate_sampled_graph_and_labels,
+        get_adj_and_degrees,
+        synthetic_kg,
+    )
+
+    kg = synthetic_kg(num_ent=100, num_rels=5, n_train=400, seed=0)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    b = generate_sampled_graph_and_labels(
+        kg.train, 64, 0.5, kg.num_rels, adj, deg, 5, "uniform",
+        np.random.default_rng(0), grouped=True,
+    )
+    assert b.triplets.shape == (64, 3)
+    assert b.neg_heads.shape == (64, 2) and b.neg_tails.shape == (64, 3)
+    n_local = b.graph.n_nodes
+    assert b.neg_heads.max() < n_local and b.neg_tails.max() < n_local
+    assert b.labels.shape == (64,)
+
+
+def test_grouped_sf_mixture_equals_flat(rng):
+    """The grouped score-function mixture (sf_weights path of
+    lp_search_loss_grouped) must equal lp_search_loss_sf on the
+    equivalent flat layout."""
+    import numpy as np
+
+    from mr_gnas_tpu.models.lp import lp_search_loss_grouped, lp_search_loss_sf
+
+    nprng = np.random.default_rng(1)
+    P, nh, nt, ne, nr, d = 40, 3, 2, 30, 5, 12
+    pos = np.stack(
+        [
+            nprng.integers(ne, size=P),
+            nprng.integers(nr, size=P),
+            nprng.integers(ne, size=P),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    neg_heads = nprng.integers(ne, size=(P, nh)).astype(np.int32)
+    neg_tails = nprng.integers(ne, size=(P, nt)).astype(np.int32)
+    flats = [pos]
+    for j in range(nt):
+        t = pos.copy()
+        t[:, 2] = neg_tails[:, j]
+        flats.append(t)
+    for j in range(nh):
+        t = pos.copy()
+        t[:, 0] = neg_heads[:, j]
+        flats.append(t)
+    flat = np.concatenate(flats)
+    labels = np.zeros(len(flat), dtype=np.float32)
+    labels[:P] = 1
+
+    ent = jax.random.normal(jax.random.key(7), (ne, d))
+    rel = jax.random.normal(jax.random.key(8), (nr, d))
+    sf_w = jnp.array([0.4, 0.6])
+
+    lf = lp_search_loss_sf(ent, rel, jnp.asarray(flat), jnp.asarray(labels), sf_w, gamma=12.0)
+    lg = lp_search_loss_grouped(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails),
+        sf_weights=sf_w, gamma=12.0,
+    )
+    np.testing.assert_allclose(float(lf), float(lg), rtol=1e-5)
