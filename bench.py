@@ -71,7 +71,11 @@ def make_step(
 
         from mr_gnas_tpu.graph.build import attach_csr
 
-        batch = dataclasses.replace(batch, graph=attach_csr(batch.graph))
+        # static_pad: same shapes/program across sampled graphs — the
+        # lp-search driver path (auto-on for TPU backends)
+        batch = dataclasses.replace(
+            batch, graph=attach_csr(batch.graph, static_pad=True)
+        )
     so_csr = None
     if csr_grads:
         # route the big embedding-gradient scatters (triplet (s,o) rows +
@@ -190,8 +194,10 @@ def main():
     # detail.fixed_workload for continuity.
     # grouped_neg: the driver-default grouped negative layout
     # (data/sampling.negative_sampling_grouped) — same BCE objective,
-    # ~2x fewer entity gather/scatter rows
-    out = run_bench(bf16=True, graph_batch=65536, grouped_neg=True)
+    # ~2x fewer entity gather/scatter rows. pallas_agg: the fused
+    # gather+compose+reduce kernel over the statically-padded CSR —
+    # auto-on in the lp-search driver on TPU backends.
+    out = run_bench(bf16=True, graph_batch=65536, grouped_neg=True, pallas_agg=True)
     # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
     # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
     fixed = run_bench(bf16=False, graph_batch=4096, steps=50)

@@ -142,33 +142,51 @@ def build_rel_graph(
     )
 
 
-def attach_csr(graph: RelGraph, bn: int = 128, rb: int | None = None) -> RelGraph:
+def attach_csr(
+    graph: RelGraph, bn: int = 128, rb: int | None = None,
+    static_pad: bool = False,
+) -> RelGraph:
     """Attach a blocked-CSR index over the edge rows so the LP aggregators
     run through the Pallas segment kernels (kernels/pallas_segment.py).
 
-    Host-side, static per graph — use on full training graphs (lp-train)
-    or any fixed sampled batch; per-step sampled graphs would retrigger
-    compilation because the blocked chunk count is data-dependent.
+    Host-side (~3 ms at 64k-edge batches, native C++ builder), static per
+    graph. ``static_pad=True`` pads the chunk list and row arrays to
+    config-determined upper bounds (kernels/pallas_segment.pad_blocked_csr)
+    so per-step sampled graphs of the same config all compile to ONE
+    program — required for lp-search, where every step samples a fresh
+    subgraph. Without it, use on fixed graphs only (lp-train).
     """
     import dataclasses as _dc
 
     import jax
 
-    from mr_gnas_tpu.kernels.pallas_segment import CSRMeta, build_blocked_csr
+    from mr_gnas_tpu.kernels.pallas_segment import (
+        CSRMeta,
+        build_blocked_csr,
+        pad_blocked_csr,
+    )
 
     ne = graph.n_edge_rows
     dst = np.asarray(jax.device_get(graph.dst))[:ne]
     mask = np.asarray(jax.device_get(graph.row_mask))[:ne]
+    n_real = int(mask.sum())
+    n_blocks = max(1, -(-graph.n_nodes // bn))
     if rb is None:
         # match the row-chunk size to the graph's density: sparse sampled
         # graphs (avg in-degree ~1) would pad every 128-node block to a
-        # 512-row chunk otherwise (4x dead work)
-        n_blocks = max(1, -(-graph.n_nodes // bn))
-        avg_rows = int(mask.sum()) / n_blocks
+        # 512-row chunk otherwise (4x dead work). n_real is a per-config
+        # constant (bs * split_size real edge rows), so rb is too.
+        avg_rows = n_real / n_blocks
         rb = 64
         while rb < min(512, 2 * avg_rows):
             rb *= 2
     csr = build_blocked_csr(dst, graph.n_nodes, mask=mask, bn=bn, rb=rb)
+    if static_pad:
+        # upper bounds from static config dims: each block wastes < rb
+        # rows and adds at most one partial chunk
+        chunks_pad = n_blocks + -(-n_real // rb)
+        rows_pad = n_real + n_blocks * rb + rb
+        csr = pad_blocked_csr(csr, chunks_pad, rows_pad)
     return _dc.replace(graph, csr=CSRMeta.from_blocked(csr))
 
 

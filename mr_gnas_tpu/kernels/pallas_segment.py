@@ -144,6 +144,52 @@ def build_blocked_csr(
     )
 
 
+def pad_blocked_csr(
+    csr: BlockedCSR, chunks_pad: int, rows_pad: int | None = None
+) -> BlockedCSR:
+    """Pad a blocked CSR to STATIC shapes across sampled graphs so the
+    Pallas kernels compile once per config instead of once per sample
+    (the chunk count is otherwise data-dependent on the dst
+    distribution).
+
+    ``perm``/``seg`` grow to ``rows_pad`` (-1 segs = identity rows, the
+    kernels' existing padding convention) with one shared all-dummy
+    RB-row region at the end; the chunk list grows to ``chunks_pad``
+    no-op chunks (``chunk_first=0``, pointing at the dummy region) that
+    accumulate the identity element. The no-op chunks MUST target the
+    LAST block: the Pallas output pipeline only supports accumulation
+    across CONSECUTIVE grid steps with the same out index — a dummy
+    chunk revisiting an earlier (already flushed) block reads a stale
+    out buffer and clobbers it (observed as ±1e30 rows on TPU; interpret
+    mode cannot catch this). Appended dummies extend the last real
+    block's chunk run, which is consecutive by construction. Upper-bound
+    budgets are cheap: a dead chunk costs one reused [RB, D] DMA + a
+    zero matmul (~us each)."""
+    rb = csr.rb
+    need_rows = csr.e_pad + rb
+    rows_pad = max(rows_pad or 0, need_rows)
+    rows_pad = -(-rows_pad // rb) * rb
+    n_extra = chunks_pad - csr.n_total_chunks
+    if n_extra < 0:
+        raise ValueError(
+            f"chunks_pad {chunks_pad} < actual chunk count {csr.n_total_chunks}"
+        )
+    perm = np.zeros(rows_pad, np.int32)
+    perm[: csr.e_pad] = csr.perm
+    seg = np.full(rows_pad, -1, np.int32)
+    seg[: csr.e_pad] = csr.seg
+    dummy_row = (rows_pad - rb) // rb
+    last_block = csr.n_blocks - 1
+    cb = np.concatenate([csr.chunk_block, np.full(n_extra, last_block, np.int32)])
+    cr = np.concatenate([csr.chunk_row, np.full(n_extra, dummy_row, np.int32)])
+    cf = np.concatenate([csr.chunk_first, np.zeros(n_extra, np.int32)])
+    return BlockedCSR(
+        perm=perm, seg=seg, chunk_block=cb.astype(np.int32),
+        chunk_row=cr.astype(np.int32), chunk_first=cf.astype(np.int32),
+        counts=csr.counts, n_nodes=csr.n_nodes, bn=csr.bn, rb=csr.rb,
+    )
+
+
 _NEG = -1e30
 
 

@@ -96,6 +96,12 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # so each positive's (s*r)/(r*o) row is shared across its group —
     # same BCE objective (tests/test_models.py equivalence), ~16% faster
     # steps on TPU (NOTES.md). False restores the reference layout.
+    pallas_agg: int = -1  # edge->node aggregators through the fused
+    # Pallas gather+compose+reduce kernel (kernels/fused_agg.py) over a
+    # statically-padded blocked CSR (one compilation across sampled
+    # graphs, graph/build.attach_csr static_pad). -1 = auto (on for TPU
+    # backends, off elsewhere — interpret-mode Pallas on CPU is slow);
+    # 0/1 force. +20% measured on v5e at the headline config (NOTES.md).
 
 
 @dataclasses.dataclass

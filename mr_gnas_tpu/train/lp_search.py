@@ -70,6 +70,12 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     n_nodes_pad = round_up(n_nodes_pad, 2 * data_n)
     n_nodes_pad_val = round_up(n_nodes_pad_val, 2 * data_n)
 
+    use_pallas_agg = (
+        jax.default_backend() == "tpu" and mesh is None
+        if cfg.pallas_agg < 0
+        else bool(cfg.pallas_agg)
+    )
+
     def sample(data, bs, adj, deg, pad, rng):
         batch = generate_sampled_graph_and_labels(
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
@@ -77,9 +83,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             n_fwd_pad=round_up(int(bs * cfg.graph_split_size), data_n),
             grouped=cfg.grouped_negatives,
         )
-        if mesh is not None:
-            import dataclasses
+        import dataclasses
 
+        if use_pallas_agg:
+            from mr_gnas_tpu.graph.build import attach_csr
+
+            # static_pad: every sampled graph of this config compiles to
+            # the same program (kernels/pallas_segment.pad_blocked_csr)
+            batch = dataclasses.replace(
+                batch, graph=attach_csr(batch.graph, static_pad=True)
+            )
+        if mesh is not None:
             batch = dataclasses.replace(batch, graph=shard_graph(batch.graph, mesh))
         return batch
 

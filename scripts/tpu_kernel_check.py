@@ -179,11 +179,53 @@ def check_megakernel_step() -> None:
     print(f"ok megakernel LPSupernet step compiled (loss {float(l0):.5f})")
 
 
+def check_static_padded_csr() -> None:
+    """pad_blocked_csr no-op chunks compiled on TPU: values must equal
+    the unpadded CSR exactly. Catches the output-revisit hazard (dummy
+    chunks must extend the LAST block's consecutive run — a dummy chunk
+    revisiting an earlier, already-flushed out block reads a stale
+    buffer and clobbers it; interpret mode cannot catch this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.kernels.fused_agg import fused_middle_agg
+    from mr_gnas_tpu.kernels.pallas_segment import (
+        CSRMeta,
+        build_blocked_csr,
+        pad_blocked_csr,
+    )
+
+    rng = np.random.default_rng(0)
+    e, n, d = 65536, 14592, 200
+    dst = rng.integers(0, 14541, size=e).astype(np.int32)
+    maskv = np.ones(e, np.float32)
+    xj = jnp.asarray(rng.normal(size=(e, d)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(d, d)) * 0.2, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(d, d)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=d) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=d) * 0.1, jnp.float32)
+    base = build_blocked_csr(dst, n, maskv, bn=128, rb=512)
+    nb = -(-n // 128)
+    padded = pad_blocked_csr(base, nb + -(-e // 512), e + nb * 512 + 512)
+    dstj, mj = jnp.asarray(dst), jnp.asarray(maskv)
+
+    def run(meta):
+        f = jax.jit(lambda *a: fused_middle_agg(*a, meta, dstj, mj))
+        return [np.asarray(o).astype(np.float32) for o in f(xj, w1, b1, w2, b2)]
+
+    ob = run(CSRMeta.from_blocked(base))
+    op = run(CSRMeta.from_blocked(padded))
+    for a, b in zip(ob, op):
+        np.testing.assert_array_equal(a, b)
+    print("ok static-padded CSR compiled (no-op chunks identity)")
+
+
 def main() -> None:
     _require_tpu()
     check_segment_csr()
     check_table_kernel()
     check_megakernel_step()
+    check_static_padded_csr()
     print("ALL TPU KERNEL CHECKS PASSED")
 
 

@@ -94,3 +94,37 @@ def test_fused_agg_empty_segments(rng):
     np.testing.assert_array_equal(np.asarray(amean[200]), np.zeros(d))
     want_max = segment_max(jax.nn.relu(jnp.asarray(x)), jnp.asarray(dst), n, jnp.asarray(mask))
     np.testing.assert_allclose(amax, want_max, rtol=1e-6)
+
+
+def test_fused_agg_static_padded_csr(rng):
+    """pad_blocked_csr's no-op chunks and dummy rows must not change
+    fused_middle_agg values, and two different samples of the same
+    config must produce identical CSR shapes (one compilation)."""
+    from mr_gnas_tpu.kernels.pallas_segment import pad_blocked_csr
+
+    e, n, d = 700, 256, 32
+    x = rng.normal(size=(e, d)).astype(np.float32)
+    w_max = rng.normal(size=(d, d)).astype(np.float32) * 0.2
+    w_mean = rng.normal(size=(d, d)).astype(np.float32) * 0.2
+    b_max = rng.normal(size=(d,)).astype(np.float32) * 0.1
+    b_mean = rng.normal(size=(d,)).astype(np.float32) * 0.1
+    maskv = np.ones(e, np.float32)
+    args = tuple(jnp.asarray(a) for a in (x, w_max, b_max, w_mean, b_mean))
+
+    shapes = []
+    outs = []
+    for seed in (0, 1):
+        r2 = np.random.default_rng(seed)
+        dst = r2.integers(0, n, size=e).astype(np.int32)
+        base = build_blocked_csr(dst, n, maskv, bn=128, rb=128)
+        n_blocks = -(-n // 128)
+        padded = pad_blocked_csr(base, n_blocks + -(-e // 128), e + n_blocks * 128 + 128)
+        mb = CSRMeta.from_blocked(base)
+        mp = CSRMeta.from_blocked(padded)
+        shapes.append((mp.perm.shape, mp.chunk_block.shape))
+        ob = fused_middle_agg(*args[:1], args[1], args[2], args[3], args[4], mb, jnp.asarray(dst), jnp.asarray(maskv))
+        op = fused_middle_agg(*args[:1], args[1], args[2], args[3], args[4], mp, jnp.asarray(dst), jnp.asarray(maskv))
+        for a, b in zip(ob, op):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+        outs.append(op)
+    assert shapes[0] == shapes[1], "static pad must yield sample-independent shapes"
