@@ -194,10 +194,14 @@ def main():
     # detail.fixed_workload for continuity.
     # grouped_neg: the driver-default grouped negative layout
     # (data/sampling.negative_sampling_grouped) — same BCE objective,
-    # ~2x fewer entity gather/scatter rows. pallas_agg: the fused
-    # gather+compose+reduce kernel over the statically-padded CSR —
-    # auto-on in the lp-search driver on TPU backends.
-    out = run_bench(bf16=True, graph_batch=65536, grouped_neg=True, pallas_agg=True)
+    # ~2x fewer entity gather/scatter rows. pallas_agg + megakernel: the
+    # fused gather+compose+reduce kernel over the statically-padded CSR
+    # and the BN-mix stage mega-kernel — both auto-on in the lp-search
+    # driver on TPU backends.
+    out = run_bench(
+        bf16=True, graph_batch=65536, grouped_neg=True, pallas_agg=True,
+        megakernel=True,
+    )
     # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
     # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
     fixed = run_bench(bf16=False, graph_batch=4096, steps=50)

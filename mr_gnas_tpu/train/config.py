@@ -81,8 +81,11 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     eval_protocol: str = "filtered"
     n_nodes_pad: int = 0  # 0 -> auto (2 * graph_batch_size, rounded)
     bf16: bool = False  # bfloat16 compute in the fused supernet cells
-    megakernel: bool = False  # training stages via the Pallas BN-mix
-    # mega-kernel (kernels/bn_mix.py) — TPU; CPU runs it in interpret mode
+    megakernel: int = -1  # training stages via the Pallas BN-mix
+    # mega-kernel (kernels/bn_mix.py): the [p, K, R, D] op/BN slabs never
+    # touch HBM. -1 = auto (on for TPU backends — +18% measured at the
+    # headline config on top of the fused-agg path, NOTES.md; off
+    # elsewhere: CPU runs it in interpret mode, slowly); 0/1 force.
     eval_every: int = 0  # >0: in-search filtered-MRR eval on the full
     # test graph every N epochs (the reference's disabled infer_graph,
     # search/mr_lp_search.py:150-167,258-278)

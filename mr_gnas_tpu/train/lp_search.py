@@ -116,7 +116,11 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         dropout_cell=cfg.dropout_cell,
         drop_aggr=cfg.drop_aggr,
         compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
-        megakernel=cfg.megakernel,
+        megakernel=(
+            jax.default_backend() == "tpu" and mesh is None
+            if cfg.megakernel < 0
+            else bool(cfg.megakernel)
+        ),
     )
     alphas = init_alphas(jax.random.key(cfg.seed), spec, cfg.layers, with_final=True)
     batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, rng)
