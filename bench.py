@@ -199,7 +199,7 @@ def main():
     # and the BN-mix stage mega-kernel — both auto-on in the lp-search
     # driver on TPU backends.
     out = run_bench(
-        bf16=True, graph_batch=65536, grouped_neg=True, pallas_agg=True,
+        bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
         megakernel=True,
     )
     # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
