@@ -76,7 +76,7 @@ def make_step(
         batch = dataclasses.replace(
             batch, graph=attach_csr(batch.graph, static_pad=True)
         )
-    so_csr = None
+    so_csr = neg_csr = None
     if csr_grads:
         # route the big embedding-gradient scatters (triplet (s,o) rows +
         # per-layer src re-gathers) through the one-hot MXU backward
@@ -85,8 +85,16 @@ def make_step(
         from mr_gnas_tpu.graph.build import attach_gather_csr, index_csr
 
         batch = dataclasses.replace(batch, graph=attach_gather_csr(batch.graph))
-        so_idx = np.concatenate([batch.triplets[:, 0], batch.triplets[:, 2]])
-        so_csr = index_csr(so_idx, batch.graph.n_nodes)
+        if grouped_neg:
+            so_idx = np.concatenate([batch.triplets[:, 0], batch.triplets[:, 2]])
+            so_csr = index_csr(so_idx, batch.graph.n_nodes)
+            neg_idx = np.concatenate(
+                [batch.neg_tails.ravel(), batch.neg_heads.ravel()]
+            )
+            neg_csr = index_csr(neg_idx, batch.graph.n_nodes)
+        else:
+            so_idx = np.concatenate([batch.triplets[:, 0], batch.triplets[:, 2]])
+            so_csr = index_csr(so_idx, batch.graph.n_nodes)
 
     spec = CellSpec(task="lp")
     model = LPSupernet(
@@ -134,7 +142,10 @@ def make_step(
             if grouped_neg:
                 nh, nt = lab
                 return (
-                    lp_search_loss_grouped(ent, rel, trip, nh, nt, dtype=ldt),
+                    lp_search_loss_grouped(
+                        ent, rel, trip, nh, nt, dtype=ldt,
+                        so_csr=so_csr, neg_csr=neg_csr,
+                    ),
                     mut["batch_stats"],
                 )
             return lp_search_loss(ent, rel, trip, lab, so_csr, dtype=ldt), mut["batch_stats"]

@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--pallas-agg", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--grouped-neg", action="store_true")
+    ap.add_argument("--megakernel", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +78,7 @@ def main():
     train_step, (params, bstats, opt_state), (graph, trip, lab) = make_step(
         bf16=args.bf16, graph_batch=args.graph_batch,
         csr_grads=args.csr_grads, pallas_agg=args.pallas_agg, remat=args.remat,
-        grouped_neg=args.grouped_neg,
+        grouped_neg=args.grouped_neg, megakernel=args.megakernel,
     )
     key = jax.random.key(2)
     lowered = train_step.lower(params, bstats, opt_state, graph, trip, lab, key)
