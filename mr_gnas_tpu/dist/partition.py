@@ -158,7 +158,12 @@ def sharded_scores_rank(
     def local(scores, labels, col_mask, obj, target):
         clamped = jnp.where(labels > 0.5, -1e7, scores)
         clamped = jnp.where(col_mask[None, :] > 0, clamped, -1e30)
-        cnt = jnp.sum(clamped > target[:, None], axis=1)
+        # obj's own column stays clamped to -1e7 here, so ties counts
+        # only *other* entities tied with the target (mid-tie rank,
+        # matching train/eval.py:filtered_ranks)
+        greater = jnp.sum(clamped > target[:, None], axis=1)
+        ties = jnp.sum(clamped == target[:, None], axis=1)
+        cnt = greater + 0.5 * ties
         return jax.lax.psum(cnt, model_axis)
 
     # target score: gather before sharding (obj column lives on one shard)

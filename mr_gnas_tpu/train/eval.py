@@ -5,7 +5,10 @@ Replaces the reference's two eval paths with one vectorized formulation:
     (train/mr_lp_train.py:295-308) becomes a rank-by-count: with distinct
     scores, ``rank = 1 + #{j != obj : pred[j] > pred[obj]}`` equals the
     double-argsort rank, costs O(N) instead of O(N log N), and shards
-    cleanly across devices (a per-shard count + psum);
+    cleanly across devices (a per-shard count + psum). Tied scores get
+    the mid-tie rank ``1 + #greater + #other_ties/2`` — the expected
+    value of the reference's index-order tie breaking — so a collapsed
+    model whose scores are all equal ranks ~N/2, not 1;
   * the search path's per-triplet python loop over candidate entities
     (utils/utils_rgcn.py:296-340) becomes batched masked scoring.
 
@@ -41,7 +44,9 @@ def filtered_ranks(pred: jax.Array, labels: jax.Array, obj: jax.Array, col_mask:
     clamped = jnp.where(labels > 0.5, NEG_FILTER, pred)
     clamped = jnp.where(col_mask[None, :] > 0, clamped, NEG_PAD)
     clamped = clamped.at[brange, obj].set(target)
-    rank = 1 + jnp.sum((clamped > target[:, None]), axis=1)
+    greater = jnp.sum(clamped > target[:, None], axis=1)
+    ties = jnp.sum(clamped == target[:, None], axis=1)  # includes obj itself
+    rank = 1.0 + greater + 0.5 * (ties - 1)
     return rank.astype(jnp.float32)
 
 

@@ -74,3 +74,28 @@ def test_calc_mrr_filtered_beats_raw(rng):
     mrr_f, _ = calc_mrr(ent, rel, train, train[:0], test, eval_p="filtered")
     mrr_r, _ = calc_mrr(ent, rel, train, train[:0], test, eval_p="raw")
     assert mrr_f >= mrr_r - 1e-9
+
+
+def test_filtered_ranks_mid_tie_on_collapsed_scores():
+    """All-equal scores (a collapsed model) must rank mid-list, not 1st.
+
+    Expected rank of the target under the reference's index-order tie
+    breaking averaged over orders: 1 + (n-1)/2.
+    """
+    n = 10
+    pred = np.zeros((1, n), np.float32)
+    labels = np.zeros((1, n), np.float32)
+    labels[0, 3] = 1.0
+    col_mask = np.ones(n, np.float32)
+    r = filtered_ranks(jnp.asarray(pred), jnp.asarray(labels), jnp.asarray([3]), jnp.asarray(col_mask))
+    assert float(r[0]) == 1 + (n - 1) / 2
+
+
+def test_filtered_ranks_partial_ties():
+    pred = np.array([[2.0, 1.0, 1.0, 1.0, 0.0]], np.float32)
+    labels = np.zeros((1, 5), np.float32)
+    labels[0, 2] = 1.0
+    col_mask = np.ones(5, np.float32)
+    r = filtered_ranks(jnp.asarray(pred), jnp.asarray(labels), jnp.asarray([2]), jnp.asarray(col_mask))
+    # one strictly greater + two other ties -> 1 + 1 + 2/2 = 3
+    assert float(r[0]) == 3.0
