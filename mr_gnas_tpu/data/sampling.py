@@ -126,6 +126,34 @@ def negative_sampling_grouped(
     return neg_heads.astype(np.int32), neg_tails.astype(np.int32)
 
 
+def negative_sampling_chunked(
+    n_positives: int, num_entity: int, negative_rate: int, chunk: int,
+    rng: np.random.Generator,
+):
+    """Chunk-shared negatives: split the P positives into G contiguous
+    chunks of ~``chunk`` rows and draw ONE negative set per chunk
+    (``negative_rate // 2`` heads + the rest tails, as in
+    :func:`negative_sampling_grouped`), returned as [G, nh] / [G, nt]
+    entity ids. G is the largest divisor of P with P/G >= chunk
+    (G = 1 when P <= chunk), so the loss can reshape positives to
+    [G, P/G, D] statically.
+
+    This is the chunk-based negative sampling used by large-scale KGE
+    systems: sharing a chunk's negatives lets the score products run as
+    batched MXU matmuls instead of [P, n, D] broadcast slabs and cuts
+    negative gather/scatter rows P*n -> G*n (models/lp.py
+    ``lp_search_loss_chunked``). Deviation from utils_rgcn.py:191-204 is
+    the same as the grouped layout plus within-chunk sharing."""
+    g = max(1, n_positives // max(chunk, 1))
+    while n_positives % g:
+        g -= 1
+    nh = negative_rate // 2
+    nt = negative_rate - nh
+    neg_heads = rng.integers(num_entity, size=(g, nh))
+    neg_tails = rng.integers(num_entity, size=(g, nt))
+    return neg_heads.astype(np.int32), neg_tails.astype(np.int32)
+
+
 @dataclasses.dataclass
 class SampledBatch:
     """One LP search step's device inputs."""
@@ -135,7 +163,8 @@ class SampledBatch:
     labels: np.ndarray  # [T] 1/0
     # grouped-negative mode (see negative_sampling_grouped): triplets
     # holds ONLY the positives [P, 3], labels is empty, and these carry
-    # the per-positive corrupted entity ids
+    # the per-positive corrupted entity ids. In chunk-shared mode
+    # (negative_sampling_chunked) they are [G, .] with G dividing P.
     neg_heads: np.ndarray | None = None  # [P, neg//2]
     neg_tails: np.ndarray | None = None  # [P, neg - neg//2]
 
@@ -153,6 +182,7 @@ def generate_sampled_graph_and_labels(
     n_nodes_pad: int | None = None,
     n_fwd_pad: int | None = None,
     grouped: bool = False,
+    neg_chunk: int = 0,
 ) -> SampledBatch:
     """Sample edges, relabel compactly, negative-sample, split graph-vs-
     supervision halves, and build the padded training RelGraph
@@ -175,9 +205,14 @@ def generate_sampled_graph_and_labels(
     relabeled = np.stack((src, rel, dst)).T
 
     if grouped:
-        neg_heads, neg_tails = negative_sampling_grouped(
-            relabeled, len(uniq_v), negative_rate, rng
-        )
+        if neg_chunk > 0:
+            neg_heads, neg_tails = negative_sampling_chunked(
+                len(relabeled), len(uniq_v), negative_rate, neg_chunk, rng
+            )
+        else:
+            neg_heads, neg_tails = negative_sampling_grouped(
+                relabeled, len(uniq_v), negative_rate, rng
+            )
         samples = relabeled
         labels = np.ones(len(relabeled), dtype=np.float32)
     else:

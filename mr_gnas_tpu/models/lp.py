@@ -409,6 +409,79 @@ def lp_search_loss_grouped(
     return (jnp.sum(pos_bce) + jnp.sum(neg_bce)) / (p * (1 + nh + nt))
 
 
+def lp_search_loss_chunked(
+    ent_emb, rel_embed, pos, neg_heads, neg_tails, dtype=None,
+    sf_weights=None, gamma: float = 40.0,
+):
+    """BCE-with-logits over positives + CHUNK-SHARED negatives: the P
+    positives are split into G contiguous chunks of C = P/G rows and
+    every positive in a chunk is scored against the chunk's shared
+    negative set. ``neg_heads``/``neg_tails`` are [G, nh]/[G, nt] entity
+    ids (data/sampling.negative_sampling_chunked); each positive still
+    sees nh + nt negatives, exactly like the grouped layout.
+
+    TPU rationale: the per-positive grouped layout's negative score
+    products and their backward are [P, n, D] elementwise slabs plus a
+    P*n-row grad scatter-add — together ~1/3 of the profiled 131k-edge
+    step (NOTES.md roofline). Sharing negatives within a chunk turns
+    both into batched MXU matmuls ([G, C, D] @ [G, D, n] forward,
+    [G, C, n] @ [G, n, D] / [G, n, C] @ [G, C, D] backward) and shrinks
+    the negative gather + grad scatter from P*n to G*n rows. Per-row BCE
+    objective is unchanged; the sampling deviation (negatives drawn once
+    per chunk instead of per positive, cf. utils_rgcn.py:198) is the
+    chunk-based negative sampling standard in large-scale KGE systems.
+    At G == P this is bit-for-bit the grouped layout
+    (tests/test_models.py::test_chunked_loss_chunk1_equals_grouped).
+    """
+    if dtype is not None:
+        ent_emb = ent_emb.astype(dtype)
+        rel_embed = rel_embed.astype(dtype)
+    p = pos.shape[0]
+    g_n, nh = neg_heads.shape
+    nt = neg_tails.shape[1]
+    if p % g_n:
+        raise ValueError(f"chunk count {g_n} must divide positives {p}")
+    c = p // g_n
+    so_idx = jnp.concatenate([pos[:, 0], pos[:, 2]])
+    so = jnp.take(ent_emb, so_idx, axis=0, mode="clip")
+    s, o = jnp.split(so, 2, axis=0)
+    r = take_small_table(rel_embed, pos[:, 1])
+    d = s.shape[-1]
+    sr = (s * r).reshape(g_n, c, d)
+    ro = (r * o).reshape(g_n, c, d)
+    nh_rows = jnp.take(ent_emb, neg_heads, axis=0, mode="clip")  # [G, nh, D]
+    nt_rows = jnp.take(ent_emb, neg_tails, axis=0, mode="clip")  # [G, nt, D]
+    pos_logit = jnp.sum(s * r * o, axis=1, dtype=jnp.float32)
+    logits_t = jnp.einsum(
+        "gcd,gnd->gcn", sr, nt_rows, preferred_element_type=jnp.float32
+    )
+    logits_h = jnp.einsum(
+        "gcd,gnd->gcn", ro, nh_rows, preferred_element_type=jnp.float32
+    )
+    if sf_weights is not None:
+        # TransE's L1 distance has no matmul form: the mixture keeps the
+        # [G, C, n, D] broadcast slabs (same bytes as the grouped layout)
+        srs = (s + r).reshape(g_n, c, d)
+        ord_ = (o - r).reshape(g_n, c, d)
+        te_pos = gamma - jnp.sum(jnp.abs((s + r) - o), axis=1, dtype=jnp.float32)
+        te_t = gamma - jnp.sum(
+            jnp.abs(srs[:, :, None, :] - nt_rows[:, None, :, :]),
+            axis=-1, dtype=jnp.float32,
+        )
+        te_h = gamma - jnp.sum(
+            jnp.abs(nh_rows[:, None, :, :] - ord_[:, :, None, :]),
+            axis=-1, dtype=jnp.float32,
+        )
+        w_te, w_dm = sf_weights[0], sf_weights[1]
+        pos_logit = w_te * te_pos + w_dm * pos_logit
+        logits_t = w_te * te_t + w_dm * logits_t
+        logits_h = w_te * te_h + w_dm * logits_h
+    pos_bce = optax_sigmoid_bce(pos_logit, jnp.ones_like(pos_logit))
+    neg_logits = jnp.concatenate([logits_t.ravel(), logits_h.ravel()])
+    neg_bce = optax_sigmoid_bce(neg_logits, jnp.zeros_like(neg_logits))
+    return (jnp.sum(pos_bce) + jnp.sum(neg_bce)) / (p * (1 + nh + nt))
+
+
 def optax_sigmoid_bce(logits, labels):
     """Numerically stable binary cross entropy with logits."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

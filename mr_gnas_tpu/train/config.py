@@ -99,6 +99,13 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # so each positive's (s*r)/(r*o) row is shared across its group —
     # same BCE objective (tests/test_models.py equivalence), ~16% faster
     # steps on TPU (NOTES.md). False restores the reference layout.
+    neg_chunk: int = 0  # >0: chunk-shared negatives — positives are
+    # split into chunks of ~this many rows and each chunk shares one
+    # negative set (data/sampling.negative_sampling_chunked), turning
+    # the [P, n, D] negative score slabs + P*n-row grad scatter into
+    # batched MXU matmuls + a G*n-row scatter
+    # (models/lp.lp_search_loss_chunked). Requires grouped_negatives.
+    # 0 = off (per-positive grouped negatives, the default).
     pallas_agg: int = -1  # edge->node aggregators through the fused
     # Pallas gather+compose+reduce kernel (kernels/fused_agg.py) over a
     # statically-padded blocked CSR (one compilation across sampled

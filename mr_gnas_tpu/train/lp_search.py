@@ -40,6 +40,8 @@ from mr_gnas_tpu.train.metrics import (
 
 
 def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
+    if cfg.neg_chunk > 0 and not cfg.grouped_negatives:
+        raise ValueError("--neg-chunk requires --grouped-negatives true")
     run_dir = setup_run_dir(cfg.save_dir, f"lp-search-{cfg.dataset}")
     log = setup_logging(run_dir)
     scalars = ScalarLogger(run_dir)
@@ -81,7 +83,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
             n_fwd_pad=round_up(int(bs * cfg.graph_split_size), data_n),
-            grouped=cfg.grouped_negatives,
+            grouped=cfg.grouped_negatives, neg_chunk=cfg.neg_chunk,
         )
         import dataclasses
 
@@ -169,9 +171,16 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             jax.nn.softmax(alphas["final"][0]) if cfg.search_score_fn else None
         )
         if cfg.grouped_negatives:
+            nh, nt = lab
+            if cfg.neg_chunk > 0:
+                from mr_gnas_tpu.models.lp import lp_search_loss_chunked
+
+                return lp_search_loss_chunked(
+                    e, r, trip, nh, nt, dtype=loss_dt, sf_weights=sf_w,
+                    gamma=cfg.gamma,
+                )
             from mr_gnas_tpu.models.lp import lp_search_loss_grouped
 
-            nh, nt = lab
             return lp_search_loss_grouped(
                 e, r, trip, nh, nt, dtype=loss_dt, sf_weights=sf_w,
                 gamma=cfg.gamma,

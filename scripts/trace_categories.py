@@ -69,6 +69,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--grouped-neg", action="store_true")
     ap.add_argument("--megakernel", action="store_true")
+    ap.add_argument("--neg-chunk", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -79,6 +80,7 @@ def main():
         bf16=args.bf16, graph_batch=args.graph_batch,
         csr_grads=args.csr_grads, pallas_agg=args.pallas_agg, remat=args.remat,
         grouped_neg=args.grouped_neg, megakernel=args.megakernel,
+        neg_chunk=args.neg_chunk,
     )
     key = jax.random.key(2)
     lowered = train_step.lower(params, bstats, opt_state, graph, trip, lab, key)

@@ -357,3 +357,26 @@ def test_nc_train_driver(tmp_path):
     )
     out = run_nc_train(cfg)
     assert out["best"]["test_acc"] > 0.2  # learnable synthetic task
+
+
+def test_lp_search_driver_chunked_negatives(tmp_path):
+    """End-to-end search with chunk-shared negatives (--neg-chunk)."""
+    cfg = LPSearchConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=40,
+        graph_batch_size_val=20,
+        negative_sample=3,
+        warm_epochs=1,
+        log_every=2,
+        epochs=4,
+        layers=1,
+        neg_chunk=10,
+        search_score_fn=True,  # sf mixture also runs the chunked path
+    )
+    out = run_lp_search(cfg)
+    assert np.isfinite(out["last_loss"])
+    assert len(out["genotypes"]) == 1

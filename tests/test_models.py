@@ -430,3 +430,116 @@ def test_grouped_sf_mixture_equals_flat(rng):
         sf_weights=sf_w, gamma=12.0,
     )
     np.testing.assert_allclose(float(lf), float(lg), rtol=1e-5)
+
+
+def test_chunked_loss_chunk1_equals_grouped(rng):
+    """lp_search_loss_chunked at G == P (chunk size 1) computes the
+    grouped layout's function on the same negative arrays."""
+    import numpy as np
+
+    from mr_gnas_tpu.models.lp import lp_search_loss_chunked, lp_search_loss_grouped
+
+    nprng = np.random.default_rng(1)
+    P, nh, nt, ne, nr, d = 24, 2, 3, 40, 7, 16
+    pos = np.stack(
+        [nprng.integers(ne, size=P), nprng.integers(nr, size=P), nprng.integers(ne, size=P)],
+        axis=1,
+    ).astype(np.int32)
+    neg_heads = nprng.integers(ne, size=(P, nh)).astype(np.int32)
+    neg_tails = nprng.integers(ne, size=(P, nt)).astype(np.int32)
+    ent = jax.random.normal(jax.random.key(2), (ne, d))
+    rel = jax.random.normal(jax.random.key(3), (nr, d))
+    lg = lp_search_loss_grouped(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+    )
+    lc = lp_search_loss_chunked(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+    )
+    np.testing.assert_allclose(float(lg), float(lc), rtol=1e-6)
+    sfw = jnp.asarray([0.3, 0.7])
+    lg = lp_search_loss_grouped(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails),
+        sf_weights=sfw, gamma=12.0,
+    )
+    lc = lp_search_loss_chunked(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails),
+        sf_weights=sfw, gamma=12.0,
+    )
+    np.testing.assert_allclose(float(lg), float(lc), rtol=1e-6)
+
+
+def test_chunked_loss_equals_flat_expansion(rng):
+    """Chunk-shared negatives expanded to the flat per-row layout give
+    the same loss and entity-table gradient as lp_search_loss."""
+    import numpy as np
+
+    from mr_gnas_tpu.models.lp import lp_search_loss, lp_search_loss_chunked
+
+    nprng = np.random.default_rng(4)
+    P, G, nh, nt, ne, nr, d = 48, 4, 2, 3, 40, 7, 16
+    C = P // G
+    pos = np.stack(
+        [nprng.integers(ne, size=P), nprng.integers(nr, size=P), nprng.integers(ne, size=P)],
+        axis=1,
+    ).astype(np.int32)
+    neg_heads = nprng.integers(ne, size=(G, nh)).astype(np.int32)
+    neg_tails = nprng.integers(ne, size=(G, nt)).astype(np.int32)
+
+    flats = [pos]
+    for g in range(G):
+        rows = pos[g * C : (g + 1) * C]
+        for j in range(nt):
+            t = rows.copy()
+            t[:, 2] = neg_tails[g, j]
+            flats.append(t)
+        for j in range(nh):
+            t = rows.copy()
+            t[:, 0] = neg_heads[g, j]
+            flats.append(t)
+    flat = np.concatenate(flats)
+    labels = np.zeros(len(flat), dtype=np.float32)
+    labels[:P] = 1
+
+    ent = jax.random.normal(jax.random.key(5), (ne, d))
+    rel = jax.random.normal(jax.random.key(6), (nr, d))
+    lf = lp_search_loss(ent, rel, jnp.asarray(flat), jnp.asarray(labels))
+    lc = lp_search_loss_chunked(
+        ent, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+    )
+    np.testing.assert_allclose(float(lf), float(lc), rtol=1e-5)
+
+    gf = jax.grad(lambda e: lp_search_loss(e, rel, jnp.asarray(flat), jnp.asarray(labels)))(ent)
+    gc = jax.grad(
+        lambda e: lp_search_loss_chunked(
+            e, rel, jnp.asarray(pos), jnp.asarray(neg_heads), jnp.asarray(neg_tails)
+        )
+    )(ent)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gc), rtol=1e-4, atol=1e-6)
+
+
+def test_sampler_chunked_mode(rng):
+    """neg_chunk emits [G, .] shared-negative arrays with G dividing P."""
+    import numpy as np
+
+    from mr_gnas_tpu.data import (
+        generate_sampled_graph_and_labels,
+        get_adj_and_degrees,
+        synthetic_kg,
+    )
+
+    kg = synthetic_kg(num_ent=100, num_rels=5, n_train=400, seed=0)
+    adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
+    b = generate_sampled_graph_and_labels(
+        kg.train, 64, 0.5, kg.num_rels, adj, deg, 5, "uniform",
+        np.random.default_rng(0), grouped=True, neg_chunk=16,
+    )
+    assert b.triplets.shape == (64, 3)
+    assert b.neg_heads.shape == (4, 2) and b.neg_tails.shape == (4, 3)
+    n_local = b.graph.n_nodes
+    assert b.neg_heads.max() < n_local and b.neg_tails.max() < n_local
+    # chunk larger than P -> one shared group
+    b1 = generate_sampled_graph_and_labels(
+        kg.train, 64, 0.5, kg.num_rels, adj, deg, 5, "uniform",
+        np.random.default_rng(0), grouped=True, neg_chunk=1000,
+    )
+    assert b1.neg_heads.shape == (1, 2)
