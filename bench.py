@@ -220,21 +220,16 @@ def main():
     # driver on TPU backends. neg_chunk=1024: chunk-shared negatives
     # (lp-search --neg-chunk; data/sampling.negative_sampling_chunked)
     # turn the negative score slabs + P*n-row grad scatter into batched
-    # MXU matmuls — +17% measured, same per-positive negative count;
-    # the per-positive grouped number is kept in detail.grouped_layout.
+    # MXU matmuls — +25% measured, same per-positive negative count.
+    # (The per-positive grouped layout measures ~870-904k standalone,
+    # NOTES.md; it is NOT re-measured here because a second 131k-config
+    # run in the same process under-reports by ~35% — leftover device
+    # allocations from the first program degrade it. One process, one
+    # measured config.)
     out = run_bench(
         bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
         megakernel=True, neg_chunk=1024,
     )
-    grouped = run_bench(
-        bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
-        megakernel=True, steps=10,
-    )
-    out["grouped_layout"] = {
-        "edges_per_sec": round(grouped["edges_per_sec"], 1),
-        "step_ms": round(grouped["step_ms"], 3),
-        "config": "per-positive grouped negatives (no chunk sharing)",
-    }
     # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
     # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
     fixed = run_bench(bf16=False, graph_batch=4096, steps=50)
