@@ -380,3 +380,26 @@ def test_lp_search_driver_chunked_negatives(tmp_path):
     out = run_lp_search(cfg)
     assert np.isfinite(out["last_loss"])
     assert len(out["genotypes"]) == 1
+
+
+def test_lp_search_driver_mesh_chunked(tmp_path):
+    """Chunk-shared negatives compose with the device mesh: the 8-way
+    run matches the single-device run's loss exactly."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=32,
+        graph_batch_size_val=16,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=3,
+        layers=1,
+        neg_chunk=8,
+    )
+    out1 = run_lp_search(LPSearchConfig(save_dir=str(tmp_path / "s1"), **base))
+    out8 = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "s8"), mesh_shape=(8,), **base)
+    )
+    np.testing.assert_allclose(out8["last_loss"], out1["last_loss"], rtol=1e-4)
