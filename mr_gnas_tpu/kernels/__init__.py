@@ -4,6 +4,7 @@ from mr_gnas_tpu.kernels.segment import (
     gather_rows,
     segment_count,
     segment_max,
+    segment_softmax,
     segment_mean,
     segment_std,
     segment_sum,
@@ -15,6 +16,7 @@ __all__ = [
     "gather_rows",
     "segment_count",
     "segment_max",
+    "segment_softmax",
     "segment_mean",
     "segment_std",
     "segment_sum",

@@ -108,5 +108,25 @@ def segment_std(
     return jnp.sqrt(var + eps)
 
 
-def segment_softmax_denorm(*_args, **_kwargs):  # pragma: no cover
-    raise NotImplementedError("reserved for attention-style aggregators")
+def segment_softmax(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Masked per-segment softmax of [E, D] rows along the segment axis —
+    the attention-aggregator primitive (beyond the reference, whose op
+    space has no attention aggregator; provided so GAT-style a_* ops can
+    slot into the registry). Numerically stabilized with the segment max;
+    masked rows get weight 0; empty segments produce all-zero weights.
+    """
+    seg_max = segment_max(data, segment_ids, num_segments, mask)
+    shifted = data - jnp.take(seg_max, jnp.minimum(segment_ids, num_segments - 1), axis=0)
+    e = jnp.exp(shifted)
+    if mask is not None:
+        e = e * mask[:, None]
+    denom = segment_sum(e, segment_ids, num_segments, None)
+    denom_rows = jnp.take(
+        denom, jnp.minimum(segment_ids, num_segments - 1), axis=0
+    )
+    return jnp.where(denom_rows > 0, e / jnp.maximum(denom_rows, 1e-30), 0.0)

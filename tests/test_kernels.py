@@ -66,3 +66,32 @@ def test_mask_none_equals_full_mask(rng):
         a = np.asarray(fn(jnp.asarray(data), jnp.asarray(seg), n, None))
         b = np.asarray(fn(jnp.asarray(data), jnp.asarray(seg), n, jnp.asarray(full)))
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_segment_softmax_oracle(rng):
+    """Masked segment softmax vs a per-segment numpy oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.kernels import segment_softmax
+
+    e, n, d = 40, 6, 8
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    seg = rng.integers(0, n, size=e).astype(np.int32)
+    mask = (rng.uniform(size=e) < 0.8).astype(np.float32)
+    seg = np.where(mask > 0, seg, n)  # padded rows -> dummy segment
+
+    got = np.asarray(
+        segment_softmax(jnp.asarray(data), jnp.asarray(seg), n, jnp.asarray(mask))
+    )
+    want = np.zeros_like(data)
+    for s in range(n):
+        rows = np.where((seg == s) & (mask > 0))[0]
+        if len(rows) == 0:
+            continue
+        x = data[rows]
+        ex = np.exp(x - x.max(axis=0))
+        want[rows] = ex / ex.sum(axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # masked rows get zero weight; per-segment columns sum to 1
+    assert np.all(got[mask == 0] == 0)
