@@ -206,12 +206,11 @@ def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", 
 
 def main():
     # headline: the tuned TPU configuration (bf16 compute in the fused
-    # cells, 64k-edge sampled graphs — larger search batches amortize the
+    # cells, 128k-edge sampled graphs — larger search batches amortize the
     # node-section rows AND are higher-fidelity search steps; see
-    # NOTES.md round-2 roofline; 64k is within 2% of the measured
-    # batch-scaling asymptote at half the step latency of 128k). The
-    # round-1 fixed workload (f32, 4096) is re-measured into
-    # detail.fixed_workload for continuity.
+    # NOTES.md round-2 roofline; 65536 is the latency-friendly point at
+    # ~86% of this peak). The round-1 fixed workload (f32, 4096) is
+    # re-measured into detail.fixed_workload for continuity.
     # grouped_neg: the driver-default grouped negative layout
     # (data/sampling.negative_sampling_grouped) — same BCE objective,
     # ~2x fewer entity gather/scatter rows. pallas_agg + megakernel: the
