@@ -29,6 +29,10 @@ def pytest_configure(config):
         "markers",
         "slow: driver/e2e tests taking minutes; deselect with -m 'not slow'",
     )
+    config.addinivalue_line(
+        "markers",
+        "tpu: compiled-on-TPU checks (subprocess); auto-skip without a TPU",
+    )
 
 
 @pytest.fixture
