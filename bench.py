@@ -204,7 +204,24 @@ def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", 
     }
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the headline program cold-compiles
+    in minutes through the axon remote-compile tunnel (NOTES.md); caching
+    it in-repo makes repeat bench runs (and the end-of-round driver run)
+    pay only device time. Keyed on HLO+flags+jaxlib, so code changes
+    invalidate cleanly."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jaxlib without the persistent cache: run cold
+
+
 def main():
+    _enable_compile_cache()
     # headline: the tuned TPU configuration (bf16 compute in the fused
     # cells, 128k-edge sampled graphs — larger search batches amortize the
     # node-section rows AND are higher-fidelity search steps; see

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 from mr_gnas_tpu.train import (
@@ -83,6 +84,14 @@ def _add_flags(parser: argparse.ArgumentParser, cfg_cls):
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("mr-gnas-tpu")
+    parser.add_argument(
+        "--compile-cache",
+        default=os.path.join("~", ".cache", "mr-gnas-tpu", "jax-cache"),
+        metavar="DIR",
+        help="persistent XLA compilation cache directory (TPU driver "
+        "programs cold-compile in minutes; the cache makes repeat runs "
+        "pay only device time). Pass an empty string to disable.",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
     for cmd, (cfg_cls, _) in COMMANDS.items():
         p = sub.add_parser(cmd, help=cfg_cls.__doc__)
@@ -90,8 +99,23 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache(cache_dir: str) -> None:
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jaxlib without the persistent cache: run cold
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compile_cache(args.compile_cache)
     cfg_cls, runner = COMMANDS[args.command]
     field_names = {f.name for f in dataclasses.fields(cfg_cls)}
     kwargs = {
