@@ -243,7 +243,9 @@ class FusedSupernetCellLP(nn.Module):
         m_nodes = spec.first_nodes
         nf, ne = graph.n_fwd, graph.n_edge_rows
         cdt = self.compute_dtype
-        interp = _jax.default_backend() != "tpu"
+        from mr_gnas_tpu.kernels.common import pallas_interpret_default
+
+        interp = pallas_interpret_default()
         src_emb = src_emb.astype(cdt)
         hr = hr.astype(cdt)
         r_rows = src_emb.shape[0]

@@ -82,19 +82,37 @@ def _add_flags(parser: argparse.ArgumentParser, cfg_cls):
             parser.add_argument(name, type=type(default) if default is not None else str, default=default)
 
 
+_CACHE_HELP = (
+    "persistent XLA compilation cache directory (TPU driver "
+    "programs cold-compile in minutes; the cache makes repeat runs "
+    "pay only device time). Pass an empty string to disable."
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("mr-gnas-tpu")
     parser.add_argument(
         "--compile-cache",
         default=os.path.join("~", ".cache", "mr-gnas-tpu", "jax-cache"),
         metavar="DIR",
-        help="persistent XLA compilation cache directory (TPU driver "
-        "programs cold-compile in minutes; the cache makes repeat runs "
-        "pay only device time). Pass an empty string to disable.",
+        help=_CACHE_HELP,
+    )
+    parser.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="force the JAX platform (e.g. cpu, tpu). Defaults to the "
+        "JAX_PLATFORMS env var, applied via jax.config so it works even "
+        "where a preinstalled TPU plugin ignores the env var.",
     )
     sub = parser.add_subparsers(dest="command", required=True)
     for cmd, (cfg_cls, _) in COMMANDS.items():
         p = sub.add_parser(cmd, help=cfg_cls.__doc__)
+        # accepted in either position: `--compile-cache D lp-train` and
+        # `lp-train --compile-cache D`. SUPPRESS keeps the subcommand
+        # occurrence from overwriting the parent default when omitted.
+        p.add_argument(
+            "--compile-cache", default=argparse.SUPPRESS, metavar="DIR",
+            help=_CACHE_HELP,
+        )
         _add_flags(p, cfg_cls)
     return parser
 
@@ -113,8 +131,21 @@ def _enable_compile_cache(cache_dir: str) -> None:
         pass  # older jaxlib without the persistent cache: run cold
 
 
+def _apply_platform(platform: str | None) -> None:
+    """Honor --platform / JAX_PLATFORMS even where a preinstalled TPU
+    plugin ignores the env var for standalone scripts (NOTES.md): the
+    config update is authoritative where the env is not."""
+    platform = platform or os.environ.get("JAX_PLATFORMS") or ""
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _apply_platform(getattr(args, "platform", None))
     _enable_compile_cache(args.compile_cache)
     cfg_cls, runner = COMMANDS[args.command]
     field_names = {f.name for f in dataclasses.fields(cfg_cls)}

@@ -156,7 +156,9 @@ def _fused_fwd_impl(x, w_max, b_max, w_mean, b_mean, meta: CSRMeta, interpret):
             pl.BlockSpec((bn, d), lambda i, blk, row, first: (blk[i], 0)),
         ),
     )
-    shp = jax.ShapeDtypeStruct((n_blocks * bn, d), jnp.float32)
+    from mr_gnas_tpu.kernels.common import out_struct
+
+    shp = out_struct((n_blocks * bn, d), jnp.float32, x_sorted, meta.chunk_block)
     out_max, out_sum, out_mean = pl.pallas_call(
         functools.partial(_fused_kernel, bn=bn, rb=rb),
         out_shape=(shp, shp, shp),
@@ -272,5 +274,7 @@ def fused_middle_agg(
     either direction.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from mr_gnas_tpu.kernels.common import pallas_interpret_default
+
+        interpret = pallas_interpret_default()
     return _fused_agg(bool(interpret), x, w_max, b_max, w_mean, b_mean, meta, dst, mask)

@@ -318,9 +318,13 @@ def _segment_csr_meta(data_sorted, meta: CSRMeta, op: str, interpret: bool):
         ],
         out_specs=pl.BlockSpec((bn, d), lambda i, blk, row, first: (blk[i], 0)),
     )
+    from mr_gnas_tpu.kernels.common import out_struct
+
     out = pl.pallas_call(
         functools.partial(_kernel, bn=bn, rb=rb, op=op),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * bn, d), jnp.float32),
+        out_shape=out_struct(
+            (n_blocks * bn, d), jnp.float32, data_sorted, meta.chunk_block
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
@@ -373,7 +377,9 @@ def segment_mean_pallas(data, csr: BlockedCSR, interpret: bool = False):
 
 
 def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+    from mr_gnas_tpu.kernels.common import pallas_interpret_default
+
+    return pallas_interpret_default()
 
 
 def _zero_cot(x):

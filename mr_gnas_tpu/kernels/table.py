@@ -86,7 +86,9 @@ def _onehot_table_grad(g, idx, n_rows: int, interpret: bool, rb: int = 512):
 
 
 def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+    from mr_gnas_tpu.kernels.common import pallas_interpret_default
+
+    return pallas_interpret_default()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))

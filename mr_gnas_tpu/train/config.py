@@ -34,6 +34,10 @@ class BaseConfig:
     save_model_freq: int = 300
     profile_steps: int = 0  # >0: record a jax.profiler trace of this many
     # early steps into <run_dir>/profile (utils/profiling.trace)
+    finite_check_every: int = 50  # every N epochs, assert the loss is
+    # finite; on NaN/inf the driver saves an abort checkpoint and raises
+    # instead of burning the rest of the run (SURVEY §5 sanitizers row —
+    # the reference has nothing here). 0 disables.
     # distribution: e.g. (8,) = 8-way edge/data parallel, (4, 2) =
     # 4-way data x 2-way model (entity-table) parallel
     mesh_shape: tuple[int, ...] | None = None

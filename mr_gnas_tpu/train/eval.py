@@ -98,6 +98,56 @@ def _build_filter(train, valid, test, num_rels):
     return tail, head
 
 
+class RankFilter:
+    """Vectorized known-positive filter: per-(query, rel) label columns as
+    a sorted CSR built ONCE per dataset.
+
+    Replaces the per-triplet python loop over ``fmap[(q, r)]`` in the
+    in-search eval (the O(test_size) host drag as test sets grow; the
+    reference's equivalent loop is utils/utils_rgcn.py:296-340). Lookup
+    is two ``np.searchsorted`` calls + one vectorized fill per batch.
+    """
+
+    def __init__(self, train, valid, test, num_rels_hint: int | None = None):
+        trips = np.concatenate(
+            [np.asarray(s).reshape(-1, 3) for s in (train, valid, test)]
+        ).astype(np.int64)
+        self._num_rel = (
+            int(num_rels_hint)
+            if num_rels_hint
+            else (int(trips[:, 1].max()) + 1 if len(trips) else 1)
+        )
+        s, r, o = trips[:, 0], trips[:, 1], trips[:, 2]
+        self._tail_keys, self._tail_vals = self._csr(s, r, o)
+        self._head_keys, self._head_vals = self._csr(o, r, s)
+
+    def _csr(self, q, r, tgt):
+        keys = q * self._num_rel + r
+        order = np.argsort(keys, kind="stable")
+        return keys[order], tgt[order].astype(np.int64)
+
+    def fill_labels(self, q, r, direction: str, n_cols: int) -> np.ndarray:
+        """Multi-hot [B, n_cols] of known positives for each (q, r) row."""
+        keys_s, vals = (
+            (self._tail_keys, self._tail_vals)
+            if direction == "tail"
+            else (self._head_keys, self._head_vals)
+        )
+        q = np.asarray(q, np.int64)
+        k = q * self._num_rel + np.asarray(r, np.int64)
+        lo = np.searchsorted(keys_s, k, side="left")
+        hi = np.searchsorted(keys_s, k, side="right")
+        lens = hi - lo
+        labels = np.zeros((len(q), n_cols), np.float32)
+        total = int(lens.sum())
+        if total:
+            rows = np.repeat(np.arange(len(q)), lens)
+            flat = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            cols = vals[np.repeat(lo, lens) + flat]
+            labels[rows, cols] = 1.0
+        return labels
+
+
 @jax.jit
 def _distmult_scores(ent_emb, rel_rows, q_emb):
     return jnp.dot(q_emb * rel_rows, ent_emb.T, preferred_element_type=jnp.float32)
@@ -113,12 +163,15 @@ def calc_mrr(
     eval_bz: int = 512,
     eval_p: str = "filtered",
     num_ent: int | None = None,
+    rank_filter: "RankFilter | None" = None,
 ):
     """MRR / MR / Hits@k of DistMult scores over the cell-stack embeddings
     (the in-search eval of search/mr_lp_search.py:258-278).
 
     Perturbs subject and object; ``filtered`` masks known positives.
     ``num_ent`` bounds the real entity columns when ent_emb is padded.
+    ``rank_filter`` (a prebuilt :class:`RankFilter`) skips rebuilding the
+    known-positive index on every eval call.
     """
     ent_emb = jnp.asarray(ent_emb)
     rel_embed = jnp.asarray(rel_embed)
@@ -126,7 +179,8 @@ def calc_mrr(
     num_ent = num_ent or n_pad
     col_mask = jnp.asarray((np.arange(n_pad) < num_ent).astype(np.float32))
     test = np.asarray(test_triplets)
-    tail_f, head_f = _build_filter(train_triplets, valid_triplets, test, None)
+    if eval_p == "filtered" and rank_filter is None:
+        rank_filter = RankFilter(train_triplets, valid_triplets, test)
 
     results: dict = {}
     for direction in ("tail", "head"):
@@ -134,14 +188,12 @@ def calc_mrr(
             batch = test[start : start + eval_bz]
             if direction == "tail":
                 q, r, tgt = batch[:, 0], batch[:, 1], batch[:, 2]
-                fmap = tail_f
             else:
                 q, r, tgt = batch[:, 2], batch[:, 1], batch[:, 0]
-                fmap = head_f
-            labels = np.zeros((len(batch), n_pad), np.float32)
             if eval_p == "filtered":
-                for i, (qq, rr) in enumerate(zip(q, r)):
-                    labels[i, sorted(fmap[(int(qq), int(rr))])] = 1.0
+                labels = rank_filter.fill_labels(q, r, direction, n_pad)
+            else:
+                labels = np.zeros((len(batch), n_pad), np.float32)
             # DistMult is symmetric in (s, o): head-perturbed scores are
             # (o * r) . ent^T, so both directions use the same kernel
             scores = _distmult_scores(

@@ -245,12 +245,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         params = optax.apply_updates(params, updates)
         return params, new_bs, w_opt, loss
 
-    # full test graph for optional in-search eval (infer_graph analog)
+    # full test graph for optional in-search eval (infer_graph analog);
+    # the known-positive filter index is built ONCE (RankFilter), not per
+    # eval call
     test_graph = None
+    rank_filter = None
     if cfg.eval_every > 0:
         from mr_gnas_tpu.graph import build_rel_graph
+        from mr_gnas_tpu.train.eval import RankFilter
 
         test_graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+        rank_filter = RankFilter(kg.train, kg.valid, kg.test)
 
     def decoded():
         genos = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
@@ -312,6 +317,19 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         )
         thr.step(batch.graph.n_edge_rows)
 
+        if cfg.finite_check_every and epoch % cfg.finite_check_every == 0:
+            from mr_gnas_tpu.train.metrics import guard_finite
+
+            guard_finite(
+                loss, epoch, log,
+                save_fn=lambda: save_checkpoint(
+                    os.path.join(run_dir, "abort_state.msgpack"),
+                    {"params": params, "batch_stats": bstats, "alphas": alphas,
+                     "w_opt": w_opt, "a_opt": a_opt},
+                    {"epoch": epoch, "reason": "non-finite loss"},
+                ),
+            )
+
         if epoch % cfg.log_every == 0:
             log.info(
                 "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s",
@@ -331,7 +349,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             mrr, hit_k = calc_mrr(
                 ent, rel, kg.train, kg.valid, kg.test,
                 eval_bz=cfg.eval_batch_size, eval_p=cfg.eval_protocol,
-                num_ent=kg.num_ent,
+                num_ent=kg.num_ent, rank_filter=rank_filter,
             )
             log.info(
                 "Eval@%04d | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",

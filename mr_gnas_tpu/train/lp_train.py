@@ -231,6 +231,19 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         scalars.log(epoch, train_loss=train_loss, edges_per_sec=thr.edges_per_sec)
         log.info("Train_Epoch %04d | Loss %.4f | %.0f edges/s", epoch, train_loss, thr.edges_per_sec)
 
+        if cfg.finite_check_every and epoch % max(1, cfg.finite_check_every // 10) == 0:
+            # lp-train epochs are many steps, so check every epoch-ish
+            from mr_gnas_tpu.train.metrics import guard_finite
+
+            guard_finite(
+                train_loss, epoch, log,
+                save_fn=lambda: save_checkpoint(
+                    os.path.join(run_dir, "abort_state.msgpack"),
+                    {"params": params, "batch_stats": bstats, "opt_state": opt_state},
+                    {"epoch": epoch, "reason": "non-finite loss"},
+                ),
+            )
+
         val_res, val_loss = infer("valid", epoch)
         test_res, test_loss = infer("test", epoch)
         final_test = test_res

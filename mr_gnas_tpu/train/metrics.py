@@ -110,3 +110,24 @@ def calc_time(seconds: float) -> dict:
     h, m = divmod(m, 60)
     d, h = divmod(h, 24)
     return {"day": int(d), "hour": int(h), "minute": int(m), "second": int(s)}
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised when a driver's finite-check trips (SURVEY §5 sanitizers)."""
+
+
+def guard_finite(loss, epoch: int, log=None, save_fn=None) -> None:
+    """Abort a diverged run early: if ``loss`` is NaN/inf, optionally
+    save an abort checkpoint (``save_fn``) and raise
+    :class:`NonFiniteLossError`. Costs one host sync per call — drivers
+    invoke it every ``finite_check_every`` epochs."""
+    import numpy as np
+
+    v = float(loss)
+    if np.isfinite(v):
+        return
+    if log is not None:
+        log.error("non-finite loss %s at epoch %d — aborting run", v, epoch)
+    if save_fn is not None:
+        save_fn()
+    raise NonFiniteLossError(f"non-finite loss {v} at epoch {epoch}")

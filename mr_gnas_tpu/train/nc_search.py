@@ -214,6 +214,11 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
             thr.step(sum(b.n_edges for b in blocks))
             steps_total += 1
 
+        if cfg.finite_check_every and epoch % cfg.finite_check_every == 0:
+            from mr_gnas_tpu.train.metrics import guard_finite
+
+            guard_finite(loss, epoch, log)
+
         if epoch % cfg.log_every == 0:
             val_acc = evaluate(val_idx)
             test_acc = evaluate(ds.test_idx)

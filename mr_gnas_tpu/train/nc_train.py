@@ -159,6 +159,11 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
             losses.append(float(loss))
             thr.step(sum(b.n_edges for b in blocks))
 
+        if cfg.finite_check_every and epoch % cfg.finite_check_every == 0:
+            from mr_gnas_tpu.train.metrics import guard_finite
+
+            guard_finite(np.sum(losses), epoch, log)
+
         if epoch % cfg.log_every == 0 or epoch == epochs - 1:
             micro, macro = evaluate(ds.test_idx)
             tr_micro, _ = evaluate(ds.train_idx)

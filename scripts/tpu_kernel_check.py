@@ -182,20 +182,51 @@ def check_megakernel_step() -> None:
     np.testing.assert_allclose(l0, l1, rtol=1e-3)
 
     def _rel_l2(tree0, tree1, tol, what):
-        for (k0, v0), (k1, v1) in zip(
-            sorted(jax.tree_util.tree_leaves_with_path(tree0), key=lambda x: str(x[0])),
-            sorted(jax.tree_util.tree_leaves_with_path(tree1), key=lambda x: str(x[0])),
-        ):
+        leaves0 = sorted(
+            jax.tree_util.tree_leaves_with_path(tree0), key=lambda x: str(x[0])
+        )
+        leaves1 = sorted(
+            jax.tree_util.tree_leaves_with_path(tree1), key=lambda x: str(x[0])
+        )
+        assert len(leaves0) == len(leaves1), (
+            f"{what}: leaf count mismatch {len(leaves0)} != {len(leaves1)}"
+        )
+        for (k0, v0), (k1, v1) in zip(leaves0, leaves1):
+            assert str(k0) == str(k1), f"{what}: key mismatch {k0} != {k1}"
             num = float(jnp.linalg.norm((v0 - v1).ravel()))
             den = max(float(jnp.linalg.norm(v1.ravel())), 1e-6)
             assert np.isfinite(num), f"{what}{jax.tree_util.keystr(k0)}: non-finite"
             assert num / den < tol, (
                 f"{what}{jax.tree_util.keystr(k0)}: rel-L2 {num / den:.2e} >= {tol}"
             )
+            # aggregate rel-L2 can hide a localized wiring bug confined to
+            # a small slice of a large tensor: also cap the worst element
+            max_err = float(jnp.max(jnp.abs(v0 - v1)))
+            max_ref = max(float(jnp.max(jnp.abs(v1))), 1e-6)
+            assert max_err < 0.1 * max_ref, (
+                f"{what}{jax.tree_util.keystr(k0)}: max elem err {max_err:.2e} "
+                f">= 0.1 * max |ref| {max_ref:.2e}"
+            )
 
     _rel_l2(bs0, bs1, 5e-3, "batch_stats")
     _rel_l2(g0, g1, 2e-2, "grads")
     print(f"ok megakernel LPSupernet step compiled (loss {float(l0):.5f})")
+
+    # --- same-compile wiring parity (compiler-drift-robust, TIGHT) ---
+    # The slab-vs-mega comparison above bounds two *different* schedules
+    # whose mutual f32 rounding drifts with XLA releases (NOTES.md). The
+    # tight invariant is the SAME mega kernels compiled through Mosaic vs
+    # interpret-lowered to XLA ops, in this session, on these inputs:
+    # any Mosaic lowering / pipeline-buffer bug shows here at 1e-5 scale.
+    os.environ["MR_GNAS_PALLAS_INTERPRET"] = "1"
+    try:
+        li, bsi, gi = make_step(True)(params)
+    finally:
+        del os.environ["MR_GNAS_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(float(l1), float(li), rtol=1e-5)
+    _rel_l2(bs1, bsi, 1e-4, "batch_stats[mosaic-vs-interpret]")
+    _rel_l2(g1, gi, 1e-4, "grads[mosaic-vs-interpret]")
+    print("ok megakernel Mosaic-vs-interpret same-compile parity (<=1e-4)")
 
 
 def check_static_padded_csr() -> None:

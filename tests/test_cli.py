@@ -15,9 +15,11 @@ from mr_gnas_tpu.train import LPSearchConfig
 
 
 def test_every_config_field_is_a_flag():
+    import argparse
+
     parser = build_parser()
     sub = next(
-        a for a in parser._actions if isinstance(a, type(parser._actions[-1]))
+        a for a in parser._actions if isinstance(a, argparse._SubParsersAction)
     )
     for cmd, (cfg_cls, _) in COMMANDS.items():
         p = sub.choices[cmd]
@@ -61,3 +63,15 @@ def test_compile_cache_flag_default_and_disable():
         ["--compile-cache", "", "lp-search", "--dataset", "synthetic"]
     )
     assert off.compile_cache == ""
+
+
+def test_compile_cache_flag_accepted_after_subcommand():
+    """--compile-cache works in either position (ADVICE round 2)."""
+    p = build_parser()
+    after = p.parse_args(["lp-train", "--dataset", "synthetic", "--compile-cache", "/tmp/x"])
+    assert after.compile_cache == "/tmp/x"
+    before = p.parse_args(["--compile-cache", "/tmp/y", "lp-train", "--dataset", "synthetic"])
+    assert before.compile_cache == "/tmp/y"
+    # omitted in both positions -> parent default survives
+    neither = p.parse_args(["lp-train", "--dataset", "synthetic"])
+    assert neither.compile_cache and "jax-cache" in neither.compile_cache

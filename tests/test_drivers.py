@@ -403,3 +403,69 @@ def test_lp_search_driver_mesh_chunked(tmp_path):
         LPSearchConfig(save_dir=str(tmp_path / "s8"), mesh_shape=(8,), **base)
     )
     np.testing.assert_allclose(out8["last_loss"], out1["last_loss"], rtol=1e-4)
+
+
+def test_lp_search_deterministic_across_runs(tmp_path):
+    """Two runs with the same seed produce identical losses — jit
+    donation + per-epoch derived RNG keep the step bit-reproducible
+    (SURVEY §5 race-detection analog; VERDICT r2 item 7)."""
+    def run(tag):
+        cfg = LPSearchConfig(
+            dataset="synthetic",
+            save_dir=str(tmp_path / tag),
+            feature_dim=8,
+            init_fea_dim=8,
+            num_base_r=4,
+            graph_batch_size=24,
+            graph_batch_size_val=12,
+            negative_sample=2,
+            warm_epochs=1,
+            epochs=5,
+            layers=1,
+            seed=3,
+        )
+        out = run_lp_search(cfg)
+        with open(os.path.join(out["run_dir"], "scalars.jsonl")) as f:
+            return [json.loads(l) for l in f], out["last_loss"]
+
+    recs_a, last_a = run("a")
+    recs_b, last_b = run("b")
+    assert last_a == last_b
+    losses_a = [(r["step"], r.get("train_loss")) for r in recs_a if "train_loss" in r]
+    losses_b = [(r["step"], r.get("train_loss")) for r in recs_b if "train_loss" in r]
+    assert losses_a == losses_b and losses_a
+
+
+def test_lp_search_nan_guard_aborts(tmp_path, monkeypatch):
+    """A diverging loss trips the finite-check: abort checkpoint written,
+    NonFiniteLossError raised instead of burning the run."""
+    import numpy as np
+
+    from mr_gnas_tpu.train import lp_search as lps
+    from mr_gnas_tpu.train.metrics import NonFiniteLossError
+
+    real = lps.lp_search_loss
+
+    def poisoned(*a, **kw):
+        return real(*a, **kw) * np.float32(np.nan)
+
+    monkeypatch.setattr(lps, "lp_search_loss", poisoned)
+    cfg = LPSearchConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=8,
+        init_fea_dim=8,
+        num_base_r=4,
+        graph_batch_size=24,
+        graph_batch_size_val=12,
+        negative_sample=2,
+        warm_epochs=10,
+        epochs=4,
+        layers=1,
+        finite_check_every=1,
+        grouped_negatives=False,
+    )
+    with pytest.raises(NonFiniteLossError):
+        run_lp_search(cfg)
+    run_dirs = [d for d in (tmp_path).iterdir() if d.is_dir()]
+    assert any((d / "abort_state.msgpack").exists() for d in run_dirs)

@@ -99,3 +99,38 @@ def test_filtered_ranks_partial_ties():
     r = filtered_ranks(jnp.asarray(pred), jnp.asarray(labels), jnp.asarray([2]), jnp.asarray(col_mask))
     # one strictly greater + two other ties -> 1 + 1 + 2/2 = 3
     assert float(r[0]) == 3.0
+
+
+def test_rank_filter_matches_dict_build(rng):
+    """Vectorized RankFilter labels == the per-triplet dict loop."""
+    from mr_gnas_tpu.train.eval import RankFilter, _build_filter
+
+    n_ent, n_rel = 25, 5
+    def mk(k):
+        return np.stack(
+            [rng.integers(0, n_ent, k), rng.integers(0, n_rel, k), rng.integers(0, n_ent, k)], 1
+        )
+
+    train, valid, test = mk(80), mk(20), mk(30)
+    rf = RankFilter(train, valid, test)
+    tail_f, head_f = _build_filter(train, valid, test, None)
+    n_pad = n_ent + 3
+    for direction, fmap in (("tail", tail_f), ("head", head_f)):
+        q = test[:, 0] if direction == "tail" else test[:, 2]
+        r = test[:, 1]
+        got = rf.fill_labels(q, r, direction, n_pad)
+        want = np.zeros((len(test), n_pad), np.float32)
+        for i, (qq, rr) in enumerate(zip(q, r)):
+            want[i, sorted(fmap[(int(qq), int(rr))])] = 1.0
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rank_filter_empty_and_duplicate_keys():
+    from mr_gnas_tpu.train.eval import RankFilter
+
+    train = np.array([[0, 0, 1], [0, 0, 1], [0, 0, 2]])  # duplicates
+    rf = RankFilter(train, train[:0], train[:0])
+    lab = rf.fill_labels([0, 7], [0, 0], "tail", 10)
+    np.testing.assert_array_equal(lab[0, [1, 2]], [1.0, 1.0])
+    assert lab[0].sum() == 2.0
+    assert lab[1].sum() == 0.0  # unseen (q, r) -> empty

@@ -61,3 +61,18 @@ def test_timed_context():
     with timed(sink, "x"):
         time.sleep(0.005)
     assert sink["x"] >= 0.005
+
+
+def test_guard_finite_raises_and_saves():
+    import numpy as np
+    import pytest
+
+    from mr_gnas_tpu.train.metrics import NonFiniteLossError, guard_finite
+
+    guard_finite(1.25, 0)  # finite: no-op
+    called = []
+    with pytest.raises(NonFiniteLossError):
+        guard_finite(np.nan, 7, save_fn=lambda: called.append(1))
+    assert called == [1]
+    with pytest.raises(NonFiniteLossError):
+        guard_finite(np.inf, 8)
