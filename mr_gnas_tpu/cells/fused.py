@@ -84,22 +84,34 @@ class FusedSupernetCellLP(nn.Module):
         rv = self.variable("batch_stats", f"{name}_var", lambda: jnp.ones(shape, jnp.float32))
         return (scale, bias, rm, rv)
 
-    def _bn_apply(self, bn, sl, x, mask, training: bool, op_sl=slice(None)):
+    def _bn_apply(
+        self, bn, sl, x, mask, training: bool, op_sl=slice(None), axis=None
+    ):
         """x: [p, K', R, D]; sl: slice into the stage's pair dim; op_sl:
         slice into the op dim (for stacks that omit ops handled
-        analytically). Statistics in f32 regardless of compute dtype."""
+        analytically). Statistics in f32 regardless of compute dtype.
+        ``axis``: mesh axis name when rows are sharded (dist/spmd.py) —
+        statistics are psum'd so the sharded program computes the exact
+        single-device batch norm."""
         scale, bias, rm, rv = bn
         xf = x.astype(jnp.float32)
         if training:
             m = mask[:, None]
-            cnt = jnp.maximum(jnp.sum(mask), 1.0)
             # one-pass stats: sum and sumsq share the slab read (the
             # two-pass (x-mean)^2 form costs a second [p, K, R, D] HBM
             # pass; f32 accumulation keeps E[x^2]-m^2 accurate at these
             # row counts)
             xm = xf * m
-            mean = jnp.sum(xm, axis=-2) / cnt
-            var = jnp.maximum(jnp.sum(xm * xf, axis=-2) / cnt - mean * mean, 0.0)
+            s1 = jnp.sum(xm, axis=-2)
+            s2 = jnp.sum(xm * xf, axis=-2)
+            cnt = jnp.sum(mask)
+            if axis is not None:
+                s1 = jax.lax.psum(s1, axis)
+                s2 = jax.lax.psum(s2, axis)
+                cnt = jax.lax.psum(cnt, axis)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 rm.value = rm.value.at[sl, op_sl].set(
@@ -118,12 +130,12 @@ class FusedSupernetCellLP(nn.Module):
             + bias[sl, op_sl][..., None, :].astype(x.dtype)
         )
 
-    def _mix(self, bn, sl, stack, mask, w, training):
+    def _mix(self, bn, sl, stack, mask, w, training, axis=None):
         """BN + ReLU + alpha-mix over ops + sum over pairs -> [R, D]."""
-        y = jax.nn.relu(self._bn_apply(bn, sl, stack, mask, training))
+        y = jax.nn.relu(self._bn_apply(bn, sl, stack, mask, training, axis=axis))
         return jnp.einsum("pkrd,pk->rd", y, w.astype(y.dtype))
 
-    def _mix_const_op0(self, bn, sl, stack_rest, mask, w, training, c0):
+    def _mix_const_op0(self, bn, sl, stack_rest, mask, w, training, c0, axis=None):
         """Mix where op 0's BN input is constant over rows (f_zero: the op
         output is 0, or, for NC, the post-linear bias) — computed
         analytically instead of materializing a [p, R, D] slab.
@@ -135,7 +147,9 @@ class FusedSupernetCellLP(nn.Module):
         """
         scale, bias, rm, rv = bn
         y = jax.nn.relu(
-            self._bn_apply(bn, sl, stack_rest, mask, training, op_sl=slice(1, None))
+            self._bn_apply(
+                bn, sl, stack_rest, mask, training, op_sl=slice(1, None), axis=axis
+            )
         )
         mixed = jnp.einsum("pkrd,pk->rd", y, w[:, 1:].astype(y.dtype))
         c0 = c0.astype(jnp.float32)  # [p, D]
@@ -163,9 +177,19 @@ class FusedSupernetCellLP(nn.Module):
         CSR graphs use the fused gather+compose+reduce kernel
         (kernels/fused_agg.py) — the pre-linear relu slabs never touch
         HBM; otherwise the composite XLA path (batched einsum + scatter
-        segment ops)."""
+        segment ops).
+
+        Sharded-local graphs (``graph.spmd_axis``, dist/spmd.py) reduce
+        their edge shard into [M, N_glob, D] partials, then merge across
+        the mesh axis — reduce-scatter for sum/mean-numerator/counts and
+        an all-to-all max exchange — returning only this device's node
+        slice [M, N_loc, D]. The max merge of zero-filled partials is
+        exact because every aggregator pre-activation is relu'd (>= 0)
+        and DGL's empty-segment fill is 0."""
         ne = graph.n_edge_rows
         edge_mask = graph.edge_mask
+        n_agg = graph.agg_nodes
+        d = SE.shape[-1]
         if graph.csr is not None:
             from mr_gnas_tpu.kernels.fused_agg import fused_middle_agg
 
@@ -179,29 +203,45 @@ class FusedSupernetCellLP(nn.Module):
             agg_max = jnp.stack([o[0] for o in outs])
             sum_raw = jnp.stack([o[1] for o in outs])
             mean_num = jnp.stack([o[2] for o in outs])
-            return agg_max, sum_raw, mean_num, graph.csr.counts
-        lin = jax.nn.relu(
-            jnp.einsum(
-                "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(SE.dtype)
-            + b_mid[..., None, :].astype(SE.dtype)
-        )
-        # padded edge rows already route to the dummy segment by the
-        # RelGraph dst contract (graph/container.py:40, build.py:96), so
-        # the segment ops need no [M, E, D] mask slabs — mask=None skips
-        # the where/mul passes in BOTH directions (the profiled step spent
-        # ~4 ms/step on them, NOTES.md roofline)
-        vmax = jax.vmap(lambda x: segment_max(x, dst_e, graph.n_nodes, None))
-        vsum = jax.vmap(lambda x: segment_sum(x, dst_e, graph.n_nodes, None))
-        from mr_gnas_tpu.kernels.segment import segment_count
+            cnt = graph.csr.counts
+        else:
+            lin = jax.nn.relu(
+                jnp.einsum(
+                    "med,mkdf->mkef", SE, w_mid.astype(SE.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(SE.dtype)
+                + b_mid[..., None, :].astype(SE.dtype)
+            )
+            # padded edge rows already route to the dummy segment by the
+            # RelGraph dst contract (graph/container.py:40, build.py:96), so
+            # the segment ops need no [M, E, D] mask slabs — mask=None skips
+            # the where/mul passes in BOTH directions (the profiled step spent
+            # ~4 ms/step on them, NOTES.md roofline)
+            vmax = jax.vmap(lambda x: segment_max(x, dst_e, n_agg, None))
+            vsum = jax.vmap(lambda x: segment_sum(x, dst_e, n_agg, None))
+            from mr_gnas_tpu.kernels.segment import segment_count
 
-        cnt = segment_count(dst_e, graph.n_nodes, None)
-        agg_max = vmax(lin[:, 0])
-        # one scatter pass for a_sum's input and a_mean's numerator
-        d = SE.shape[-1]
-        summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
-        return agg_max, summed[..., :d], summed[..., d:], cnt
+            cnt = segment_count(dst_e, n_agg, None)
+            agg_max = vmax(lin[:, 0])
+            # one scatter pass for a_sum's input and a_mean's numerator
+            summed = vsum(jnp.concatenate([SE, lin[:, 1]], axis=-1))
+            sum_raw, mean_num = summed[..., :d], summed[..., d:]
+        if graph.spmd_axis is not None:
+            from mr_gnas_tpu.dist.spmd import (
+                max_merge_nodes,
+                scatter_sum_nodes,
+                scatter_sum_vec,
+            )
+
+            ax = graph.spmd_axis
+            n_dev = graph.n_nodes_global // graph.n_nodes
+            agg_max = max_merge_nodes(ax, n_dev, agg_max)
+            merged = scatter_sum_nodes(
+                jnp.concatenate([sum_raw, mean_num], axis=-1), ax
+            )
+            sum_raw, mean_num = merged[..., :d], merged[..., d:]
+            cnt = scatter_sum_vec(cnt, ax)
+        return agg_max, sum_raw, mean_num, cnt
 
     # ---- mega-kernel path helpers ---------------------------------------
 
@@ -450,10 +490,16 @@ class FusedSupernetCellLP(nn.Module):
 
     @nn.compact
     def __call__(self, graph: RelGraph, src_emb, hr, weights, training: bool):
-        if self.megakernel and training:
+        # the BN-mix megakernel computes batch statistics and applies them
+        # in ONE fused pass — incompatible with the cross-device stat psum
+        # the sharded-local view needs, so spmd graphs take the slab path
+        # (whose middle stage still runs the fused-agg Pallas kernel on
+        # each edge shard when a per-shard CSR is attached)
+        if self.megakernel and training and graph.spmd_axis is None:
             return self._call_mega(graph, src_emb, hr, weights, training)
         spec, d = self.spec, self.feature_dim
         assert spec.task == "lp"
+        axis = graph.spmd_axis
         p1, p2 = spec.n_first_edges, spec.n_last_edges
         m_nodes = spec.first_nodes
         nf, ne = graph.n_fwd, graph.n_edge_rows
@@ -469,7 +515,8 @@ class FusedSupernetCellLP(nn.Module):
         z_stack = jnp.stack([src_emb * hr, src_emb - hr, src_emb + hr])[None]
         bn_zero = self._bn_decl("bn_zero", (1, 3))
         h_in = self._mix(
-            bn_zero, slice(0, 1), z_stack, row_mask, weights["zero"][:1], training
+            bn_zero, slice(0, 1), z_stack, row_mask, weights["zero"][:1], training,
+            axis=axis,
         )
 
         # ---------------- first stage ----------------
@@ -538,7 +585,7 @@ class FusedSupernetCellLP(nn.Module):
             states.append(
                 self._mix_const_op0(
                     bn_first, sl, stack, row_mask, weights["first"][sl], training,
-                    jnp.zeros((p_i, d), jnp.float32),
+                    jnp.zeros((p_i, d), jnp.float32), axis=axis,
                 )
             )
             done += p_i
@@ -568,7 +615,9 @@ class FusedSupernetCellLP(nn.Module):
         )
         mid_stack = jnp.stack([agg_max, agg_sum, agg_mean], axis=1)  # MIDDLE_OPS order
         y = jax.nn.relu(
-            self._bn_apply(bn_mid, slice(0, m_nodes), mid_stack, node_mask, training)
+            self._bn_apply(
+                bn_mid, slice(0, m_nodes), mid_stack, node_mask, training, axis=axis
+            )
         )
         node_states = list(jnp.einsum("mknd,mk->mnd", y, weights["middle"]))
 
@@ -597,7 +646,7 @@ class FusedSupernetCellLP(nn.Module):
             node_states.append(
                 self._mix_const_op0(
                     bn_last, sl, stack, node_mask, weights["last"][sl], training,
-                    jnp.zeros((p_i, d), jnp.float32),
+                    jnp.zeros((p_i, d), jnp.float32), axis=axis,
                 )
             )
             done += p_i

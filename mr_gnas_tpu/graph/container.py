@@ -73,6 +73,28 @@ class RelGraph:
     # take_rows_csr so their gradient is an MXU one-hot sum instead of a
     # scatter-add (graph/build.attach_gather_csr)
     src_csr: object = None
+    # ---- sharded-local view (dist/spmd.py) ----------------------------
+    # When spmd_axis is set, this RelGraph is ONE DEVICE's shard inside a
+    # jax.shard_map: the fwd/inv edge sections are this device's
+    # contiguous slices of the relation-sorted edge list, the self rows /
+    # node_mask cover only this device's node slice (n_nodes rows), while
+    # src/dst still hold GLOBAL node ids into the n_nodes_global node
+    # space. The cells then psum batch-norm statistics and merge the
+    # middle-stage aggregation partials over spmd_axis (reduce-scatter /
+    # all-to-all max) instead of producing replicated [N, D] tensors —
+    # SURVEY §2.9's edge-partitioned aggregation design.
+    spmd_axis: str | None = flax.struct.field(pytree_node=False, default=None)
+    # global (padded) node count; 0 means n_nodes (unsharded view)
+    n_nodes_global: int = flax.struct.field(pytree_node=False, default=0)
+    # per-row GLOBAL entity id (= global_ids[src] precomputed host-side;
+    # the sharded-local view has no full global_ids array)
+    src_gid: object = None
+
+    @property
+    def agg_nodes(self) -> int:
+        """Aggregation target count: global nodes in the sharded-local
+        view, n_nodes otherwise."""
+        return self.n_nodes_global or self.n_nodes
 
     @property
     def n_edge_rows(self) -> int:

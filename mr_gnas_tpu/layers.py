@@ -25,6 +25,9 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    # manual-SPMD: name of the mesh axis the batch rows are sharded over
+    # (dist/spmd.py); statistics are psum'd so sharded == single-device
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None, training: bool):
@@ -43,15 +46,18 @@ class MaskedBatchNorm(nn.Module):
             # supernet cells use the one-pass (sum, sumsq) form instead
             # (cells/fused.py _bn_apply) where the [p, K, R, D] slab read
             # dominates and the reassociation stays inside test tolerance
+            def _psum(v):
+                return jax.lax.psum(v, self.axis_name) if self.axis_name else v
+
             if mask is None:
-                cnt = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
+                cnt = _psum(jnp.asarray(x.shape[0], jnp.float32))
+                mean = _psum(jnp.sum(x, axis=0)) / cnt
+                var = _psum(jnp.sum((x - mean) ** 2, axis=0)) / cnt
             else:
                 m = mask[:, None]
-                cnt = jnp.maximum(jnp.sum(mask), 1.0)
-                mean = jnp.sum(x * m, axis=0) / cnt
-                var = jnp.sum(((x - mean) ** 2) * m, axis=0) / cnt
+                cnt = jnp.maximum(_psum(jnp.sum(mask)), 1.0)
+                mean = _psum(jnp.sum(x * m, axis=0)) / cnt
+                var = _psum(jnp.sum(((x - mean) ** 2) * m, axis=0)) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean

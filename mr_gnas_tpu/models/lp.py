@@ -86,6 +86,14 @@ class LPSupernet(nn.Module):
 
     @nn.compact
     def __call__(self, graph: RelGraph, alphas: dict, training: bool = False):
+        # sharded-local graphs (dist/spmd.py): the fused cell merges its
+        # middle-stage partials across `axis` and returns this device's
+        # node slice; BN statistics are psum'd; ONE all-gather per layer
+        # rebuilds the replicated node table for the next layer's src
+        # re-gather (SURVEY §2.9 edge-partitioned aggregation)
+        axis = graph.spmd_axis
+        if axis is not None and not self.fused:
+            raise ValueError("spmd sharded graphs require fused=True cells")
         all_ent, rel_embed = _LPEmbeddings(
             self.num_ent,
             self.num_rels,
@@ -95,7 +103,8 @@ class LPSupernet(nn.Module):
             name="emb",
         )()
         w_rel = xavier_relu_param(self, "w_rel", (self.feature_dim, self.feature_dim))
-        bn = MaskedBatchNorm(name="bn_h")  # single shared BN (model_search_lp.py:74)
+        # single shared BN (model_search_lp.py:74); stats psum'd under spmd
+        bn = MaskedBatchNorm(name="bn_h", axis_name=axis)
         drop = nn.Dropout(self.dropout_cell, deterministic=not training)
 
         def gather_src(table):
@@ -114,7 +123,10 @@ class LPSupernet(nn.Module):
         for i in range(self.layers):
             w = layer_weights(alphas, self.spec, i)
             if i == 0:
-                if graph.src_csr is not None:
+                if axis is not None:
+                    # local rows carry precomputed global entity ids
+                    ent_in = jnp.take(all_ent, graph.src_gid, axis=0, mode="clip")
+                elif graph.src_csr is not None:
                     # two-hop: local-node rows first, so the big [R]-row
                     # gather backprops through the CSR kernel and only the
                     # small [n_nodes]-row hop scatters into the table
@@ -161,6 +173,12 @@ class LPSupernet(nn.Module):
             if i > 0 or self.layers == 1:
                 ent_emb = jax.nn.relu(ent_emb)
             ent_emb = drop(ent_emb)
+            if axis is not None:
+                # [N_loc, D] node slice -> replicated-content [N_glob, D]
+                # — the only full-table collective of the layer
+                from mr_gnas_tpu.dist.spmd import all_gather_nodes
+
+                ent_emb = all_gather_nodes(ent_emb, axis)
             rel_embed = jnp.dot(rel_embed, w_rel, preferred_element_type=jnp.float32)
         return ent_emb, rel_embed
 

@@ -49,16 +49,20 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         f.write(cfg.to_json())
     rng = np.random.default_rng(cfg.seed)
 
-    # distribution: cfg.mesh_shape -> named mesh; graph edge rows shard
-    # over the 'data' axis, the entity table over 'model' (SURVEY §2.9)
+    # distribution: cfg.mesh_shape -> named mesh. The manual-SPMD path
+    # (dist/spmd.py): each device owns a contiguous slice of the
+    # relation-sorted edge sections plus one node block; cells merge
+    # aggregation partials with reduce-scatter / all-to-all-max, BN stats
+    # are psum'd, and one all-gather per layer rebuilds the node table —
+    # SURVEY §2.9's edge-partitioned aggregation design.
     mesh = None
     data_n = 1
     if cfg.mesh_shape:
-        from mr_gnas_tpu.dist import make_mesh, replicate, shard_graph
+        from mr_gnas_tpu.dist import make_mesh, replicate
 
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
         data_n = mesh.shape.get("data", 1)
-        log.info("mesh: %s", dict(mesh.shape))
+        log.info("mesh: %s (manual-SPMD edge partitioning)", dict(mesh.shape))
 
     kg = load_dataset(cfg.dataset, cfg.data_root)
     adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
@@ -72,13 +76,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     n_nodes_pad = round_up(n_nodes_pad, 2 * data_n)
     n_nodes_pad_val = round_up(n_nodes_pad_val, 2 * data_n)
 
+    # Pallas CSR kernels: on for TPU. Under a mesh each shard gets its own
+    # blocked CSR (dist/spmd.build_local_graph) — compiled Mosaic runs
+    # fine inside shard_map on TPU; interpret-mode (CPU) cannot trace
+    # under shard_map, so CPU meshes use the XLA composite aggregation.
     use_pallas_agg = (
-        jax.default_backend() == "tpu" and mesh is None
+        jax.default_backend() == "tpu"
         if cfg.pallas_agg < 0
         else bool(cfg.pallas_agg)
     )
 
-    def sample(data, bs, adj, deg, pad, rng):
+    def sample(data, bs, adj, deg, pad, rng, raw: bool = False):
         batch = generate_sampled_graph_and_labels(
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
@@ -87,6 +95,12 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         )
         import dataclasses
 
+        if raw:
+            return batch
+        if mesh is not None:
+            from mr_gnas_tpu.dist.spmd import build_local_batch
+
+            return build_local_batch(batch, mesh, pallas_csr=use_pallas_agg)
         if use_pallas_agg:
             from mr_gnas_tpu.graph.build import attach_csr
 
@@ -95,8 +109,6 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             batch = dataclasses.replace(
                 batch, graph=attach_csr(batch.graph, static_pad=True)
             )
-        if mesh is not None:
-            batch = dataclasses.replace(batch, graph=shard_graph(batch.graph, mesh))
         return batch
 
     spec = CellSpec(
@@ -125,13 +137,14 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         ),
     )
     alphas = init_alphas(jax.random.key(cfg.seed), spec, cfg.layers, with_final=True)
-    batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, rng)
+    # init on a plain (unsharded) batch: param/stat shapes are identical
+    # between the single-device and spmd paths
+    batch0 = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, rng, raw=True)
     variables = model.init(jax.random.key(cfg.seed + 1), batch0.graph, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
     if mesh is not None:
-        # replicate model state across the mesh; XLA's SPMD partitioner
-        # turns the per-shard segment reductions into local reduce +
-        # cross-shard collectives (tests/test_dist.py proves equality)
+        # replicate model state across every mesh device; the shard_map'd
+        # steps below keep it replicated (grads auto-psum, BN stats psum)
         params, bstats, alphas = replicate((params, bstats, alphas), mesh)
 
     lr_schedule = optax.cosine_decay_schedule(
@@ -191,7 +204,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             return lp_search_loss_sf(e, r, trip, lab, sf_w, cfg.gamma, dtype=loss_dt)
         return lp_search_loss(e, r, trip, lab, dtype=loss_dt)
 
-    def loss_fn(params, bstats, alphas, graph, trip, lab, dkey, training=True):
+    def local_loss_fn(params, bstats, alphas, graph, trip, lab, dkey, training=True):
         out = model.apply(
             {"params": params, "batch_stats": bstats},
             graph, alphas, training,
@@ -203,6 +216,16 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             return score_loss(e, r, alphas, trip, lab), mut["batch_stats"]
         e, r = out
         return score_loss(e, r, alphas, trip, lab), bstats
+
+    if mesh is None:
+        loss_fn = local_loss_fn
+    else:
+        # manual SPMD: the loss runs inside shard_map over the 'data'
+        # axis; the cells psum BN statistics and merge middle-stage
+        # partials via graph.spmd_axis (dist/spmd.py)
+        from mr_gnas_tpu.dist.spmd import make_spmd_loss
+
+        loss_fn = make_spmd_loss(mesh, local_loss_fn)
 
     @jax.jit
     def arch_step_first(params, bstats, alphas, a_opt, graph, trip, lab, dkey):
@@ -315,7 +338,8 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         params, bstats, w_opt, loss = weight_step(
             params, bstats, w_opt, alphas, batch.graph, trip, lab, k2
         )
-        thr.step(batch.graph.n_edge_rows)
+        # under a mesh the stacked local graph's n_edge_rows is per-shard
+        thr.step(batch.graph.n_edge_rows * (data_n if mesh is not None else 1))
 
         if cfg.finite_check_every and epoch % cfg.finite_check_every == 0:
             from mr_gnas_tpu.train.metrics import guard_finite

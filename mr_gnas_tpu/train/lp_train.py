@@ -168,13 +168,28 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
+    # when the entity table is column-sharded over 'model', rank with the
+    # shard_map'd ranker: each model-rank counts (greater, equal) over its
+    # score columns and one psum combines — the [B, N] score row never
+    # re-materializes on one device (dist/partition.sharded_scores_rank)
+    use_sharded_rank = (
+        mesh is not None
+        and mesh.shape.get("model", 1) > 1
+        and graph.n_nodes % mesh.shape["model"] == 0
+    )
+
     @jax.jit
     def eval_step(params, bstats, graph, subj, rel, obj, labels):
         probs = model.apply(
             {"params": params, "batch_stats": bstats}, graph, subj, rel, False
         )
         loss = bce_probs_loss(probs, labels, None, col_mask)
-        ranks = filtered_ranks(probs, labels, obj, col_mask)
+        if use_sharded_rank:
+            from mr_gnas_tpu.dist import sharded_scores_rank
+
+            ranks = sharded_scores_rank(probs, labels, obj, col_mask, mesh)
+        else:
+            ranks = filtered_ranks(probs, labels, obj, col_mask)
         return ranks, loss
 
     def predict(qs):
