@@ -146,6 +146,11 @@ def _apply_platform(platform: str | None) -> None:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _apply_platform(getattr(args, "platform", None))
+    if getattr(args, "multihost", False):
+        # must run before _enable_compile_cache or any backend touch
+        from mr_gnas_tpu.dist.multihost import initialize
+
+        initialize()
     _enable_compile_cache(args.compile_cache)
     cfg_cls, runner = COMMANDS[args.command]
     field_names = {f.name for f in dataclasses.fields(cfg_cls)}

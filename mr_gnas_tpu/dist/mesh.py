@@ -91,9 +91,13 @@ def shard_blocks(blocks, mesh: Mesh, data_axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree across the mesh."""
+    """Fully replicate a pytree across the mesh (multihost-safe: every
+    process holds the full host value — identical init seeds — and
+    materializes its local devices' copies)."""
+    from mr_gnas_tpu.dist.multihost import global_put
+
     rep = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: global_put(x, rep), tree)
 
 
 def shard_entity_table(params: dict, mesh: Mesh, axis: str = "model") -> dict:

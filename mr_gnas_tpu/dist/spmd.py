@@ -223,10 +223,15 @@ def build_local_graph(
 
 
 def shard_local_tree(tree, mesh: Mesh, axis: str = "data"):
-    """device_put every array leaf with its leading device axis sharded
-    over ``axis`` (leaves of a stacked local graph / batch)."""
+    """Put every array leaf with its leading device axis sharded over
+    ``axis`` (leaves of a stacked local graph / batch). Multihost-safe:
+    each process materializes only the shards its devices own
+    (dist/multihost.global_put) — the sampler is identically seeded
+    across hosts, so every host can build the full stacked tree."""
+    from mr_gnas_tpu.dist.multihost import global_put
+
     sh = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: global_put(x, sh), tree)
 
 
 def pspec_tree(tree, axis: str = "data"):

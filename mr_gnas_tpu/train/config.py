@@ -42,6 +42,11 @@ class BaseConfig:
     # 4-way data x 2-way model (entity-table) parallel
     mesh_shape: tuple[int, ...] | None = None
     mesh_axes: tuple[str, ...] = ("data", "model")  # trimmed to len(shape)
+    # multi-host: initialize the JAX process cluster before any backend
+    # use (dist/multihost.initialize; topology auto-detected on TPU pods
+    # or from MRG_COORD/MRG_NPROC/MRG_PID). mesh_shape then spans ALL
+    # hosts' devices.
+    multihost: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

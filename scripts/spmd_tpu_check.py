@@ -13,7 +13,10 @@ Usage: python scripts/spmd_tpu_check.py  (needs the TPU; ~1-2 min cold)
 """
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
