@@ -213,14 +213,73 @@ def minikg(
     )
 
 
+# published statistics of the reference benchmarks, used to validate a
+# mounted dataset the moment it is loaded (DATA.md mount contract; the
+# reference's dgl.contrib.data.load_data ships exactly these splits —
+# search/mr_lp_search.py:51, train/mr_lp_train.py:37)
+KNOWN_DATASETS: dict[str, dict] = {
+    "fb15k-237": {
+        "dirnames": ("FB15k-237", "fb15k-237", "FB15k237"),
+        "num_ent": 14541, "num_rels": 237,
+        "splits": {"train": 272115, "valid": 17535, "test": 20466},
+    },
+    "wn18rr": {
+        "dirnames": ("wn18rr", "WN18RR"),
+        "num_ent": 40943, "num_rels": 11,
+        "splits": {"train": 86835, "valid": 3034, "test": 3134},
+    },
+}
+
+
+def _validate_known(kg: KGDataset, spec: dict, where: str) -> KGDataset:
+    got = {
+        "num_ent": kg.num_ent, "num_rels": kg.num_rels,
+        "train": len(kg.train), "valid": len(kg.valid), "test": len(kg.test),
+    }
+    want = {
+        "num_ent": spec["num_ent"], "num_rels": spec["num_rels"],
+        **spec["splits"],
+    }
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    if bad:
+        raise ValueError(
+            f"mounted dataset at {where!r} does not match the published "
+            f"{kg.name} statistics (got, want): {bad}. Check the mount "
+            "against DATA.md (wrong variant, truncated files, or a "
+            "filtered re-release)."
+        )
+    return kg
+
+
 def load_dataset(name_or_path: str, data_root: str = "data") -> KGDataset:
-    """Resolve a dataset by name (under data_root) or explicit path."""
+    """Resolve a dataset by name (under data_root) or explicit path.
+
+    Known benchmark names (fb15k-237, wn18rr — case-insensitive) are
+    located under ``data_root`` in the dgl.contrib on-disk layout
+    (entities.dict / relations.dict / {train,valid,test}.txt, see
+    DATA.md) and validated against their published statistics; explicit
+    paths load as-is.
+    """
     if name_or_path == "synthetic":
         return synthetic_kg()
     if name_or_path == "minikg":
         return minikg()
     if name_or_path == "minikg-small":
         return minikg(num_ent=400, n_hubs=16, n_hub_rels=4)
+    key = name_or_path.lower()
+    if key in KNOWN_DATASETS:
+        spec = KNOWN_DATASETS[key]
+        for d in spec["dirnames"]:
+            cand = os.path.join(data_root, d)
+            if os.path.isdir(cand):
+                return _validate_known(
+                    load_kg_dir(cand, name=name_or_path), spec, cand
+                )
+        raise FileNotFoundError(
+            f"dataset {name_or_path!r} not mounted: looked for "
+            f"{[os.path.join(data_root, d) for d in spec['dirnames']]}. "
+            "See DATA.md for the mount contract."
+        )
     if os.path.isdir(name_or_path):
         return load_kg_dir(name_or_path)
     cand = os.path.join(data_root, name_or_path)

@@ -186,3 +186,91 @@ def test_kg_directory_loader_end_to_end(tmp_path):
     )
     out = run_lp_train(cfg)
     assert 0.0 <= out["test"]["mrr"] <= 1.0
+
+
+def _write(p, lines):
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_kgdir_matches_dgl_contrib_conventions(tmp_path):
+    """Byte-level format compat with dgl.contrib.data.load_data (the
+    reference's FB15k-237 loader, search/mr_lp_search.py:51): dict ids
+    come from the FIRST column, not line order; triples resolve names
+    through the dicts. The oracle below reimplements dgl 0.5's
+    knowledge_graph parsing (_read_dictionary: d[line[1]] = int(line[0]);
+    _read_triplets_as_list: [ent[h], rel[r], ent[t]]). The dict files are
+    deliberately OUT of line order so a line-number-based id assignment
+    fails loudly."""
+    from mr_gnas_tpu.data import load_dataset
+
+    d = tmp_path / "FB15k-237"
+    d.mkdir()
+    _write(d / "entities.dict", ["2\t/m/a", "0\t/m/b", "1\t/m/c", "3\t/m/d"])
+    _write(d / "relations.dict", ["1\t/loc/contains", "0\t/people/born"])
+    triples = {
+        "train": ["/m/a\t/people/born\t/m/b", "/m/c\t/loc/contains\t/m/d",
+                  "/m/d\t/people/born\t/m/a"],
+        "valid": ["/m/b\t/loc/contains\t/m/c"],
+        "test": ["/m/a\t/loc/contains\t/m/d"],
+    }
+    for split, lines in triples.items():
+        _write(d / f"{split}.txt", lines)
+
+    # oracle: dgl.contrib.data.knowledge_graph parsing rules
+    def read_dict(path):
+        out = {}
+        for line in open(path):
+            idx, name = line.strip().split("\t")
+            out[name] = int(idx)
+        return out
+
+    ent, rel = read_dict(d / "entities.dict"), read_dict(d / "relations.dict")
+
+    def read_trip(path):
+        return np.asarray(
+            [
+                [ent[h], rel[r], ent[t]]
+                for h, r, t in (l.strip().split("\t") for l in open(path))
+            ],
+            dtype=np.int64,
+        )
+
+    kg = load_dataset(str(d))
+    assert kg.num_ent == 4 and kg.num_rels == 2
+    np.testing.assert_array_equal(kg.train, read_trip(d / "train.txt"))
+    np.testing.assert_array_equal(kg.valid, read_trip(d / "valid.txt"))
+    np.testing.assert_array_equal(kg.test, read_trip(d / "test.txt"))
+    # spot-check the id convention directly: /m/a -> 2 (first column)
+    assert kg.train[0, 0] == 2 and kg.train[0, 2] == 0
+
+
+def test_known_dataset_validation_rejects_wrong_mount(tmp_path):
+    """Loading by the benchmark NAME validates published statistics
+    (DATA.md contract) — a tiny impostor directory must be refused."""
+    import pytest
+
+    from mr_gnas_tpu.data import load_dataset
+
+    d = tmp_path / "FB15k-237"
+    d.mkdir()
+    _write(d / "entities.dict", ["0\ta", "1\tb"])
+    _write(d / "relations.dict", ["0\tr"])
+    for split in ("train", "valid", "test"):
+        _write(d / f"{split}.txt", ["a\tr\tb"])
+    with pytest.raises(ValueError, match="published"):
+        load_dataset("fb15k-237", data_root=str(tmp_path))
+    with pytest.raises(ValueError, match="published"):
+        load_dataset("FB15k-237", data_root=str(tmp_path))
+    # explicit-path loads skip validation (custom KGs stay usable)
+    kg = load_dataset(str(d))
+    assert kg.num_ent == 2
+
+
+def test_unmounted_known_dataset_error_points_at_contract(tmp_path):
+    import pytest
+
+    from mr_gnas_tpu.data import load_dataset
+
+    with pytest.raises(FileNotFoundError, match="DATA.md"):
+        load_dataset("wn18rr", data_root=str(tmp_path))
