@@ -370,6 +370,29 @@ def main():
     # run in the same process under-reports by ~35% — leftover device
     # allocations from the first program degrade it. One process, one
     # measured config.)
+    # the NC benchmark runs FIRST and in a SUBPROCESS: a second measured
+    # config in one process under-reports (leftover device allocations,
+    # NOTES.md round-2 measurement note), and the axon TPU tunnel is
+    # single-tenant — the child must finish before the parent grabs it
+    nc_result = None
+    if not args.no_nc:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--task", "nc"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            nc = json.loads(line)
+            nc_result = {
+                "edges_per_sec": nc["value"],
+                "step_ms": nc["detail"]["step_ms"],
+                "config": "2-hop blocks, AIFB-like scale (8.2k nodes, 90 rels, d=64)",
+            }
+        except Exception as e:  # the LP headline must survive an NC hiccup
+            nc_result = {"error": f"{type(e).__name__}: {e}"}
+
     out = run_bench(
         bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
         megakernel=True, neg_chunk=1024,
@@ -382,26 +405,8 @@ def main():
         "step_ms": round(fixed["step_ms"], 3),
         "config": "f32, graph_batch 4096 (round-1 headline config)",
     }
-    # the NC benchmark runs in a SUBPROCESS: a second measured config in
-    # the same process under-reports (leftover device allocations from
-    # the first program — NOTES.md round-2 measurement note)
-    if not args.no_nc:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--task", "nc"],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = [
-                l for l in proc.stdout.splitlines() if l.startswith("{")
-            ][-1]
-            nc = json.loads(line)
-            out["nc"] = {
-                "edges_per_sec": nc["value"],
-                "step_ms": nc["detail"]["step_ms"],
-                "config": "2-hop blocks, AIFB-like scale (8.2k nodes, 90 rels, d=64)",
-            }
-        except Exception as e:  # the LP headline must survive an NC hiccup
-            out["nc"] = {"error": f"{type(e).__name__}: {e}"}
+    if nc_result is not None:
+        out["nc"] = nc_result
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
     vs = 1.0
