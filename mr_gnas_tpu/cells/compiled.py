@@ -45,14 +45,17 @@ class OpModule(nn.Module):
     def __call__(self, graph, h, h_in, out_mask, training: bool):
         args = OpArgs(feature_dim=self.feature_dim, drop_aggr=self.drop_aggr)
         y = make_op(self.task, self.op_name, args)(graph, h, h_in, training)
+        # sharded-local graphs (dist/spmd.py): BN statistics psum over the
+        # mesh axis so sharded == single-device (EdgeGraph has no axis)
+        axis = getattr(graph, "spmd_axis", None)
         if self.task == "nc":
             y = dense(self.feature_dim, name="linear")(y)
             if self.op_norm:
-                y = MaskedBatchNorm(name="bn")(y, out_mask, training)
+                y = MaskedBatchNorm(name="bn", axis_name=axis)(y, out_mask, training)
             y = jax.nn.relu(y)
         else:
             if self.op_name != "pre_mult":  # the model_lp.py:31 quirk
-                y = MaskedBatchNorm(name="bn")(y, out_mask, training)
+                y = MaskedBatchNorm(name="bn", axis_name=axis)(y, out_mask, training)
                 y = jax.nn.relu(y)
         return y
 
@@ -128,6 +131,8 @@ class CompiledCell(nn.Module):
         h = dense(self.feature_dim, name="concat")(
             jnp.concatenate([states[i] for i in concat_node], axis=-1)
         )
-        h = MaskedBatchNorm(name="bn_out")(h, node_mask, training)
+        h = MaskedBatchNorm(
+            name="bn_out", axis_name=getattr(graph, "spmd_axis", None)
+        )(h, node_mask, training)
         h = jax.nn.relu(h)
         return h

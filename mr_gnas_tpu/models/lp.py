@@ -247,21 +247,31 @@ class LPNetwork(nn.Module):
     def encode_trace(self, graph: RelGraph, training: bool = False):
         """encode() that also returns the per-layer (ent_emb, rel_embed)
         trace — the parity surface against the reference
-        (model_lp.py:130-133's loop states)."""
+        (model_lp.py:130-133's loop states).
+
+        Sharded-local graphs (``graph.spmd_axis``, dist/spmd.py): each
+        compiled cell returns this device's node slice; one all-gather
+        per layer rebuilds the replicated table for the next layer's
+        ``ent_emb[src]`` re-gather and the 1-vs-N decode — the same
+        collective structure as the supernet path."""
+        axis = graph.spmd_axis
         ent_emb, rel_embed = self.emb()
         trace = []
         for i, cell in enumerate(self.cells):
-            ent_in = jnp.take(
-                ent_emb,
-                jnp.take(graph.global_ids, graph.src, axis=0, mode="clip")
-                if i == 0
-                else graph.src,
-                axis=0,
-                mode="clip",
-            )
+            if i == 0 and axis is not None:
+                idx = graph.src_gid  # per-row global entity ids
+            elif i == 0:
+                idx = jnp.take(graph.global_ids, graph.src, axis=0, mode="clip")
+            else:
+                idx = graph.src
+            ent_in = jnp.take(ent_emb, idx, axis=0, mode="clip")
             hr = take_small_table(rel_embed, graph.etype)
             ent_emb = cell(graph, ent_in, hr, training)
             ent_emb = self.drops[i](ent_emb, deterministic=not training)
+            if axis is not None:
+                from mr_gnas_tpu.dist.spmd import all_gather_nodes
+
+                ent_emb = all_gather_nodes(ent_emb, axis)
             rel_embed = jnp.dot(
                 rel_embed, self.w_rel, preferred_element_type=jnp.float32
             )
@@ -505,21 +515,33 @@ def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def bce_probs_loss(probs, labels, row_mask=None, col_mask=None, eps: float = 1e-7):
+def bce_probs_loss(
+    probs, labels, row_mask=None, col_mask=None, eps: float = 1e-7,
+    axis: str | None = None,
+):
     """torch.nn.BCELoss over probabilities (train/mr_lp_train.py:116,235).
 
     ``row_mask`` (0/1 per row) excludes padded batch rows and ``col_mask``
     (0/1 per entity column) excludes padded entity columns from the mean
     exactly — matching the reference, whose tensors are unpadded.
+
+    ``axis``: mesh axis name when the batch ROWS are sharded (the SPMD
+    train step, dist/spmd.py) — numerator and row count are psum'd so
+    the mean is exact even when padded rows land unevenly across shards.
     """
     p = jnp.clip(probs, eps, 1.0 - eps)
     ll = labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p)
-    if row_mask is None and col_mask is None:
+    if row_mask is None and col_mask is None and axis is None:
         return -jnp.mean(ll)
     rm = jnp.ones(probs.shape[0]) if row_mask is None else row_mask
     cm = jnp.ones(probs.shape[1]) if col_mask is None else col_mask
     m = rm[:, None] * cm[None, :]
-    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(rm) * jnp.sum(cm), 1.0)
+    num = jnp.sum(ll * m)
+    rows = jnp.sum(rm)
+    if axis is not None:
+        num = jax.lax.psum(num, axis)
+        rows = jax.lax.psum(rows, axis)
+    return -num / jnp.maximum(rows * jnp.sum(cm), 1.0)
 
 
 def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):

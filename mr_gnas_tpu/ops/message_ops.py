@@ -303,8 +303,17 @@ class _ALPBase(nn.Module):
     def _reduce(self, graph: RelGraph, msg: jax.Array, op: str) -> jax.Array:
         """Edge->node segment reduce; routes through the Pallas CSR
         kernels when the graph carries a CSRMeta (graph/build.attach_csr),
-        else the XLA scatter baselines."""
+        else the XLA scatter baselines.
+
+        Sharded-local graphs (``graph.spmd_axis``, dist/spmd.py) reduce
+        this device's edge shard into [N_glob, D] partials and merge
+        across the mesh axis — reduce-scatter for sum / mean numerator
+        and counts, all-to-all for max (exact for zero-filled partials
+        because every max message is relu'd >= 0) — returning this
+        device's node slice [N_loc, D]."""
         ne = graph.n_edge_rows
+        n_agg = graph.agg_nodes
+        spmd = graph.spmd_axis is not None
         if graph.csr is not None:
             from mr_gnas_tpu.kernels.pallas_segment import (
                 segment_max_csr,
@@ -312,10 +321,46 @@ class _ALPBase(nn.Module):
                 segment_sum_csr,
             )
 
-            fn = {"sum": segment_sum_csr, "max": segment_max_csr, "mean": segment_mean_csr}[op]
-            return fn(msg, graph.csr, graph.dst[:ne], graph.edge_mask)
-        fn = {"sum": segment_sum, "max": segment_max, "mean": segment_mean}[op]
-        return fn(msg, graph.dst[:ne], graph.n_nodes, graph.edge_mask)
+            if spmd and op == "mean":
+                # cross-shard mean needs (numerator, count), not local means
+                agg = segment_sum_csr(msg, graph.csr, graph.dst[:ne], graph.edge_mask)
+                cnt = graph.csr.counts
+            else:
+                fn = {
+                    "sum": segment_sum_csr,
+                    "max": segment_max_csr,
+                    "mean": segment_mean_csr,
+                }[op]
+                agg = fn(msg, graph.csr, graph.dst[:ne], graph.edge_mask)
+                cnt = graph.csr.counts
+        else:
+            if spmd and op == "mean":
+                agg = segment_sum(msg, graph.dst[:ne], n_agg, graph.edge_mask)
+            else:
+                fn = {"sum": segment_sum, "max": segment_max, "mean": segment_mean}[op]
+                agg = fn(msg, graph.dst[:ne], n_agg, graph.edge_mask)
+            cnt = None
+        if not spmd:
+            return agg
+        from mr_gnas_tpu.kernels.segment import segment_count
+        from mr_gnas_tpu.dist.spmd import (
+            max_merge_nodes,
+            scatter_sum_nodes,
+            scatter_sum_vec,
+        )
+
+        ax = graph.spmd_axis
+        n_dev = graph.n_nodes_global // graph.n_nodes
+        if op == "max":
+            return max_merge_nodes(ax, n_dev, agg)
+        if op == "sum":
+            return scatter_sum_nodes(agg, ax)
+        # mean: merge numerator and counts, then divide locally
+        if cnt is None:
+            cnt = segment_count(graph.dst[:ne], n_agg, graph.edge_mask)
+        num = scatter_sum_nodes(agg, ax)
+        cnt = scatter_sum_vec(cnt, ax)
+        return jnp.where(cnt[:, None] > 0, num / jnp.maximum(cnt[:, None], 1.0), 0.0)
 
 
 class AMaxLP(_ALPBase):

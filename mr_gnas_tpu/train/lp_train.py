@@ -54,16 +54,26 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    # distribution (SURVEY §2.9): edge rows shard over 'data', the entity
-    # table over 'model'; the train/eval steps are sharding-transparent
+    # distribution (SURVEY §2.9): the manual-SPMD path (dist/spmd.py) —
+    # each device owns contiguous slices of the relation-sorted edge
+    # sections plus one node block; the compiled cells merge aggregation
+    # partials with reduce-scatter / all-to-all-max, BN stats psum, one
+    # all-gather per layer rebuilds the node table, and the (s, r) query
+    # batch rows shard over the same axis (the DP analog), splitting the
+    # [B, N] 1-vs-N decode and the filtered ranking per device.
     mesh = None
     data_n = 1
     if cfg.mesh_shape:
-        from mr_gnas_tpu.dist import make_mesh, replicate, shard_entity_table, shard_graph
+        from mr_gnas_tpu.dist import make_mesh, replicate
 
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
         data_n = mesh.shape.get("data", 1)
-        log.info("mesh: %s", dict(mesh.shape))
+        if cfg.batch_size % data_n:
+            raise ValueError(
+                f"--batch-size {cfg.batch_size} must be divisible by the "
+                f"data axis {data_n} under --mesh-shape"
+            )
+        log.info("mesh: %s (manual-SPMD edge partitioning)", dict(mesh.shape))
 
     kg = load_dataset(cfg.dataset, cfg.data_root)
     triplets = process(
@@ -71,12 +81,17 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     )
     # full train graph — exact static size unless sharding needs pads
     graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels, pad_multiple=data_n)
-    if cfg.pallas_agg:
+    graph_dev = graph  # what the steps consume (local-stacked under a mesh)
+    if mesh is not None:
+        from mr_gnas_tpu.dist.spmd import build_local_graph, shard_local_tree
+
+        graph_dev = shard_local_tree(
+            build_local_graph(graph, data_n, pallas_csr=cfg.pallas_agg), mesh
+        )
+    elif cfg.pallas_agg:
         from mr_gnas_tpu.graph.build import attach_csr
 
-        graph = attach_csr(graph)
-    if mesh is not None:
-        graph = shard_graph(graph, mesh)
+        graph_dev = attach_csr(graph)
     genotypes = parse_genotypes(cfg.genotype)
     log.info("genotypes: %s", [g.to_reference_str() for g in genotypes])
 
@@ -95,11 +110,9 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     variables = model.init(jax.random.key(cfg.seed), graph, subj0, subj0, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
     if mesh is not None:
-        bstats = replicate(bstats, mesh)
-        if mesh.shape.get("model", 1) > 1 and kg.num_ent % mesh.shape["model"] == 0:
-            params = shard_entity_table(params, mesh)
-        else:
-            params = replicate(params, mesh)
+        # replicated model state; the shard_map'd steps keep it that way
+        # (grads auto-psum, BN statistics psum inside the cells)
+        params, bstats = replicate((params, bstats), mesh)
     log.info("param size = %.3fMB", count_parameters(params) * 4 / 1e6)
 
     epochs = max_epochs or cfg.epochs
@@ -150,47 +163,83 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             return labels
         return np.pad(labels, ((0, 0), (0, n_col_pad)))
 
+    # mask-weighted BCE: padded final-batch rows and padded entity
+    # columns are excluded from the mean exactly (the reference's
+    # tensors are unpadded)
+    def _train_loss(params, bstats, g, subj, rel, labels, row_mask, cmask, dkey, axis):
+        probs, mut = model.apply(
+            {"params": params, "batch_stats": bstats},
+            g, subj, rel, True,
+            mutable=["batch_stats"], rngs={"dropout": dkey},
+        )
+        l = bce_probs_loss(probs, labels, row_mask, cmask, axis=axis)
+        return l, mut["batch_stats"]
+
+    def _eval_body(params, bstats, g, subj, rel, obj, labels, cmask, axis):
+        probs = model.apply(
+            {"params": params, "batch_stats": bstats}, g, subj, rel, False
+        )
+        loss = bce_probs_loss(probs, labels, None, cmask, axis=axis)
+        # ranking is row-sharded under SPMD: each device ranks its (s, r)
+        # query slice against the full entity axis — no [B, N] score
+        # matrix ever lives on one device
+        ranks = filtered_ranks(probs, labels, obj, cmask)
+        return ranks, loss
+
+    if mesh is None:
+        train_loss_fn = functools.partial(_train_loss, axis=None)
+        eval_body = functools.partial(_eval_body, axis=None)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from mr_gnas_tpu.dist.spmd import local_view
+
+        gspec = jax.tree.map(lambda _: P("data"), graph_dev)
+
+        def train_loss_fn(params, bstats, gstack, subj, rel, labels, row_mask, cmask, dkey):
+            def f(params, bstats, gstack, subj, rel, labels, row_mask, cmask, dkey):
+                g = local_view(gstack)
+                dk = jax.random.fold_in(dkey, jax.lax.axis_index("data"))
+                return _train_loss(
+                    params, bstats, g, subj, rel, labels, row_mask, cmask, dk,
+                    axis="data",
+                )
+
+            return jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
+                          P("data"), P(), P()),
+                out_specs=(P(), P()),
+            )(params, bstats, gstack, subj, rel, labels, row_mask, cmask, dkey)
+
+        def eval_body(params, bstats, gstack, subj, rel, obj, labels, cmask):
+            def f(params, bstats, gstack, subj, rel, obj, labels, cmask):
+                g = local_view(gstack)
+                return _eval_body(
+                    params, bstats, g, subj, rel, obj, labels, cmask, axis="data"
+                )
+
+            return jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
+                          P("data"), P()),
+                out_specs=(P("data"), P()),
+            )(params, bstats, gstack, subj, rel, obj, labels, cmask)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, graph, subj, rel, labels, row_mask, dkey):
         def loss_fn(p):
-            probs, mut = model.apply(
-                {"params": p, "batch_stats": bstats},
-                graph, subj, rel, True,
-                mutable=["batch_stats"], rngs={"dropout": dkey},
+            return train_loss_fn(
+                p, bstats, graph, subj, rel, labels, row_mask, col_mask, dkey
             )
-            # mask-weighted BCE: padded final-batch rows and padded entity
-            # columns are excluded from the mean exactly (the reference's
-            # tensors are unpadded)
-            l = bce_probs_loss(probs, labels, row_mask, col_mask)
-            return l, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
-    # when the entity table is column-sharded over 'model', rank with the
-    # shard_map'd ranker: each model-rank counts (greater, equal) over its
-    # score columns and one psum combines — the [B, N] score row never
-    # re-materializes on one device (dist/partition.sharded_scores_rank)
-    use_sharded_rank = (
-        mesh is not None
-        and mesh.shape.get("model", 1) > 1
-        and graph.n_nodes % mesh.shape["model"] == 0
-    )
-
     @jax.jit
     def eval_step(params, bstats, graph, subj, rel, obj, labels):
-        probs = model.apply(
-            {"params": params, "batch_stats": bstats}, graph, subj, rel, False
-        )
-        loss = bce_probs_loss(probs, labels, None, col_mask)
-        if use_sharded_rank:
-            from mr_gnas_tpu.dist import sharded_scores_rank
-
-            ranks = sharded_scores_rank(probs, labels, obj, col_mask, mesh)
-        else:
-            ranks = filtered_ranks(probs, labels, obj, col_mask)
-        return ranks, loss
+        return eval_body(params, bstats, graph, subj, rel, obj, labels, col_mask)
 
     def predict(qs):
         results, losses = {}, []
@@ -198,7 +247,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             qs, kg.num_ent, cfg.batch_size, smooth=0.0
         ):
             ranks, loss = eval_step(
-                params, bstats, graph,
+                params, bstats, graph_dev,
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
                 jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)),
             )
@@ -237,7 +286,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         ):
             dkey = jax.random.fold_in(key, step)
             params, bstats, opt_state, loss = train_step(
-                params, bstats, opt_state, graph,
+                params, bstats, opt_state, graph_dev,
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
                 jnp.asarray(pad_cols(labels)), jnp.asarray(mask), dkey,
             )

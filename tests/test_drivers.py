@@ -287,8 +287,10 @@ def test_lp_search_driver_mesh(tmp_path):
 
 
 def test_lp_train_driver_mesh(tmp_path):
-    """lp-train with a (4,2) data x model mesh: padded entity columns +
-    sharded graph produce the same loss/MRR as single-device."""
+    """lp-train with a (4,2) data x model mesh: the manual-SPMD step
+    (edge shards + row-sharded (s, r) batches, dist/spmd.py) produces
+    the same loss/MRR as single-device. Dropout off: sharded dropout
+    masks are intentionally de-correlated across shards."""
     base = dict(
         dataset="synthetic",
         feature_dim=16,
@@ -297,12 +299,17 @@ def test_lp_train_driver_mesh(tmp_path):
         batch_size=32,
         epochs=1,
         genotype=GENO_LP,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
     )
     out1 = run_lp_train(LPTrainConfig(save_dir=str(tmp_path / "t1"), **base))
     out8 = run_lp_train(
         LPTrainConfig(save_dir=str(tmp_path / "t8"), mesh_shape=(4, 2), **base)
     )
-    np.testing.assert_allclose(out8["test"]["mrr"], out1["test"]["mrr"], rtol=1e-3)
+    # single-STEP equality is exact (tests/test_spmd.py retrain test);
+    # over a full epoch (~32 optimizer steps + BN running stats) fp
+    # reassociation of the psum'd statistics compounds to ~0.2% on MRR
+    np.testing.assert_allclose(out8["test"]["mrr"], out1["test"]["mrr"], rtol=5e-3)
 
 
 def test_nc_search_driver(tmp_path):

@@ -177,6 +177,108 @@ def test_spmd_eval_forward_matches_single_device():
     np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_spmd_retrain_step_matches_single_device():
+    """Compiled-genotype (retrain) path: the shard_map'd full-graph
+    forward + 1-vs-N BCE step equals single-device — loss, grads, and
+    row-sharded filtered ranks (models/lp.LPNetwork + cells/compiled.py
+    under graph.spmd_axis)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mr_gnas_tpu.cells.genotype import parse_reference_genotypes
+    from mr_gnas_tpu.dist.spmd import build_local_graph, local_view, shard_local_tree
+    from mr_gnas_tpu.graph import build_rel_graph
+    from mr_gnas_tpu.models import LPNetwork, bce_probs_loss
+    from mr_gnas_tpu.train.eval import filtered_ranks
+
+    kg = synthetic_kg(num_ent=64, num_rels=4, n_train=300)
+    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels, pad_multiple=8)
+    geno = parse_reference_genotypes(
+        "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse_comp', 2, 1), "
+        "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_mean', 5, 3), "
+        "('f_sparse_last', 6, 5), ('f_sparse_last', 7, 5)], "
+        "concat_node=[4, 5, 6, 7], score_func='sf_DisMult')]"
+    )
+    model = LPNetwork(
+        genotypes=tuple(geno), num_ent=kg.num_ent, num_rels=kg.num_rels,
+        feature_dim=16, init_fea_dim=8, num_base_r=4,
+        dropout_cell=0.0, drop_aggr=0.0,
+    )
+    b = 16
+    subj = jnp.asarray(kg.train[:b, 0])
+    rel = jnp.asarray(kg.train[:b, 1])
+    obj = jnp.asarray(kg.train[:b, 2])
+    labels = jnp.zeros((b, graph.n_nodes)).at[jnp.arange(b), obj].set(1.0)
+    row_mask = jnp.ones((b,))
+    cmask = graph.node_mask
+    variables = model.init(jax.random.key(0), graph, subj, rel, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    key = jax.random.key(3)
+
+    def loss1(p):
+        probs, mut = model.apply(
+            {"params": p, "batch_stats": bstats}, graph, subj, rel, True,
+            mutable=["batch_stats"], rngs={"dropout": key},
+        )
+        return bce_probs_loss(probs, labels, row_mask, cmask), mut["batch_stats"]
+
+    (l1, bs1), g1 = jax.jit(
+        jax.value_and_grad(loss1, has_aux=True)
+    )(params)
+    probs1 = model.apply(
+        {"params": params, "batch_stats": bstats}, graph, subj, rel, False
+    )
+    ranks1 = filtered_ranks(probs1, labels, obj, cmask)
+
+    mesh = make_mesh((8,), ("data",))
+    gstack = shard_local_tree(build_local_graph(graph, 8), mesh)
+    p_rep, bs_rep = replicate((params, bstats), mesh)
+    gspec = jax.tree.map(lambda _: P("data"), gstack)
+
+    def loss8(p):
+        def f(p, bs, gstack, subj, rel, labels, row_mask, cmask):
+            g = local_view(gstack)
+            probs, mut = model.apply(
+                {"params": p, "batch_stats": bs}, g, subj, rel, True,
+                mutable=["batch_stats"], rngs={"dropout": key},
+            )
+            l = bce_probs_loss(probs, labels, row_mask, cmask, axis="data")
+            return l, mut["batch_stats"]
+
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
+                      P("data"), P()),
+            out_specs=(P(), P()),
+        )(p, bs_rep, gstack, subj, rel, labels, row_mask, cmask)
+
+    (l8, bs8), g8 = jax.jit(jax.value_and_grad(loss8, has_aux=True))(p_rep)
+
+    def ranks8_fn(p):
+        def f(p, bs, gstack, subj, rel, obj, labels, cmask):
+            g = local_view(gstack)
+            probs = model.apply(
+                {"params": p, "batch_stats": bs}, g, subj, rel, False
+            )
+            return filtered_ranks(probs, labels, obj, cmask)
+
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
+                      P("data"), P()),
+            out_specs=P("data"),
+        )(p, bs_rep, gstack, subj, rel, obj, labels, cmask)
+
+    ranks8 = jax.jit(ranks8_fn)(p_rep)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ranks1), np.asarray(ranks8))
+    for a, b_ in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=3e-5)
+
+
 def test_local_batch_divisibility_error():
     kg, batch = _batch(grouped=True)
     batch = dataclasses.replace(batch, triplets=batch.triplets[:30])
