@@ -44,3 +44,21 @@ def vma_of(*arrays) -> frozenset:
 def out_struct(shape, dtype, *from_arrays):
     """jax.ShapeDtypeStruct whose vma is inherited from ``from_arrays``."""
     return jax.ShapeDtypeStruct(shape, dtype, vma=vma_of(*from_arrays) or None)
+
+
+def match_vma(x, *refs):
+    """Promote ``x`` to the union varying-manual-axes of ``refs``.
+
+    Inside ``jax.shard_map``, a replicated (invariant) operand consumed
+    by a ``custom_vjp`` kernel would get a VARYING cotangent that the
+    vma checker cannot prove back to replicated — the automatic
+    pvary-transpose psum only exists for regular ops. Explicitly
+    ``jax.lax.pvary``-ing the operand BEFORE the custom_vjp restores it:
+    pvary's transpose is exactly the psum the replicated gradient needs.
+    No-op outside shard_map and for already-varying operands.
+    """
+    target = vma_of(*refs)
+    if not target:
+        return x
+    missing = tuple(target - vma_of(x))
+    return jax.lax.pvary(x, missing) if missing else x

@@ -277,4 +277,12 @@ def fused_middle_agg(
         from mr_gnas_tpu.kernels.common import pallas_interpret_default
 
         interpret = pallas_interpret_default()
+    from mr_gnas_tpu.kernels.common import match_vma
+
+    # under shard_map: pvary the replicated pre-linear params so their
+    # cotangents psum back to replicated through the pvary transpose
+    # (custom_vjp blocks the automatic insertion — see common.match_vma)
+    w_max, b_max, w_mean, b_mean = (
+        match_vma(v, x) for v in (w_max, b_max, w_mean, b_mean)
+    )
     return _fused_agg(bool(interpret), x, w_max, b_max, w_mean, b_mean, meta, dst, mask)

@@ -490,4 +490,9 @@ def take_rows_csr(x, idx, meta: CSRMeta, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
     assert meta.n_nodes == x.shape[0], (meta.n_nodes, x.shape)
+    from mr_gnas_tpu.kernels.common import match_vma
+
+    # under shard_map: pvary a replicated x so its cotangent psums back
+    # to replicated through the pvary transpose (common.match_vma)
+    x = match_vma(x, idx)
     return _take_csr(bool(interpret), x, idx, meta)

@@ -76,9 +76,13 @@ def _onehot_table_grad(g, idx, n_rows: int, interpret: bool, rb: int = 512):
         ],
         out_specs=pl.BlockSpec((n_pad, d), lambda i: (0, 0)),
     )
+    from mr_gnas_tpu.kernels.common import out_struct
+
     out = pl.pallas_call(
         functools.partial(_onehot_grad_kernel, n_pad=n_pad, rb=rb),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        # vma inherited from the inputs so the kernel traces inside
+        # shard_map (check_vma) as well as standalone
+        out_shape=out_struct((n_pad, d), jnp.float32, idx3d, gf),
         grid_spec=grid_spec,
         interpret=interpret,
     )(idx3d, gf)
@@ -122,4 +126,9 @@ def take_small_table(table, idx, interpret: bool | None = None):
         if _interpret_default():
             return jnp.take(table, idx, axis=0, mode="clip")
         interpret = False
+    from mr_gnas_tpu.kernels.common import match_vma
+
+    # under shard_map: pvary a replicated table so its cotangent psums
+    # back to replicated through the pvary transpose (common.match_vma)
+    table = match_vma(table, idx)
     return _take_mxu(bool(interpret), table.shape[0], table, idx)
