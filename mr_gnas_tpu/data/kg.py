@@ -262,6 +262,16 @@ def load_dataset(name_or_path: str, data_root: str = "data") -> KGDataset:
     """
     if name_or_path == "synthetic":
         return synthetic_kg()
+    if name_or_path == "synthetic-fb":
+        # FB15k-237-SHAPED synthetic: the real dataset's entity/relation/
+        # split cardinalities (KNOWN_DATASETS) with synthetic structure —
+        # the driver-reachable workload for perf studies at headline
+        # scale in the zero-egress environment (e.g. the bf16 vs f32
+        # alpha-trajectory study, NOTES round-3)
+        return synthetic_kg(
+            num_ent=14541, num_rels=237, n_train=272115,
+            n_valid=17535, n_test=20466, seed=0,
+        )
     if name_or_path == "minikg":
         return minikg()
     if name_or_path == "minikg-small":

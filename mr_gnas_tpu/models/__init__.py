@@ -3,6 +3,7 @@ from mr_gnas_tpu.models.lp import (
     LPNetwork,
     LPSupernet,
     MixedScoreFn,
+    bce_logits_loss,
     bce_probs_loss,
     distmult_triplet_score,
     lp_search_loss,
@@ -18,6 +19,7 @@ __all__ = [
     "MixedScoreFn",
     "NCNetwork",
     "NCSupernet",
+    "bce_logits_loss",
     "bce_probs_loss",
     "distmult_triplet_score",
     "lp_search_loss",

@@ -242,7 +242,11 @@ class LPNetwork(nn.Module):
                     f"k_w*k_h == {self.feature_dim}), or use a sf_DisMult/"
                     f"sf_TransE genotype."
                 )
-        self.score_fn = make_score_fn(name, args)
+        # built logits-native: __call__ applies the sigmoid on top (same
+        # probabilities as the reference's decoders), while the training
+        # loss consumes raw logits (bce_logits_loss — the probs form's
+        # eps-clip zeroes gradients once a decoder saturates)
+        self.score_fn = make_score_fn(name, args, with_sigmoid=False)
 
     def encode_trace(self, graph: RelGraph, training: bool = False):
         """encode() that also returns the per-layer (ent_emb, rel_embed)
@@ -283,11 +287,16 @@ class LPNetwork(nn.Module):
         ent_emb, rel_embed, _ = self.encode_trace(graph, training)
         return ent_emb, rel_embed
 
-    def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
+    def logits(self, graph: RelGraph, subj, rel, training: bool = False):
+        """Raw 1-vs-N decoder logits [B, num_ent] (ranking-equivalent to
+        the probabilities; the BCE-with-logits training surface)."""
         ent_emb, rel_embed = self.encode(graph, training)
         sub_emb = jnp.take(ent_emb, subj, axis=0, mode="clip")
         rel_emb = take_small_table(rel_embed, rel)
         return self.score_fn(ent_emb, sub_emb, rel_emb, training)
+
+    def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
+        return jax.nn.sigmoid(self.logits(graph, subj, rel, training))
 
 
 class MixedScoreFn(nn.Module):
@@ -542,6 +551,31 @@ def bce_probs_loss(
         num = jax.lax.psum(num, axis)
         rows = jax.lax.psum(rows, axis)
     return -num / jnp.maximum(rows * jnp.sum(cm), 1.0)
+
+
+def bce_logits_loss(
+    logits, labels, row_mask=None, col_mask=None, axis: str | None = None,
+):
+    """BCE-with-logits with the same masked-mean semantics as
+    :func:`bce_probs_loss` — identical VALUE (BCELoss(sigmoid(x)) ==
+    BCEWithLogits(x)), but a saturation-proof gradient: the probs form's
+    eps-clip zeroes the gradient once a decoder saturates (p < 1e-7),
+    which stalls ConvE training from its large-magnitude early logits
+    (torch's BCELoss backward composes to exactly ``p - y`` per logit,
+    so the reference never hits this; NOTES round-3). Ranking on logits
+    is identical to ranking on probs (sigmoid is monotone)."""
+    ll = optax_sigmoid_bce(logits, labels)  # positive = -log-likelihood
+    if row_mask is None and col_mask is None and axis is None:
+        return jnp.mean(ll)
+    rm = jnp.ones(logits.shape[0]) if row_mask is None else row_mask
+    cm = jnp.ones(logits.shape[1]) if col_mask is None else col_mask
+    m = rm[:, None] * cm[None, :]
+    num = jnp.sum(ll * m)
+    rows = jnp.sum(rm)
+    if axis is not None:
+        num = jax.lax.psum(num, axis)
+        rows = jax.lax.psum(rows, axis)
+    return num / jnp.maximum(rows * jnp.sum(cm), 1.0)
 
 
 def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):

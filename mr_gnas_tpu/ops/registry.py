@@ -70,12 +70,16 @@ def make_op(task: str, name: str, args: OpArgs) -> nn.Module:
     return table[name]()
 
 
-def make_score_fn(name: str, args: OpArgs) -> nn.Module:
-    """Instantiate a score function by name (operations_lp.py:26-30)."""
+def make_score_fn(name: str, args: OpArgs, with_sigmoid: bool = True) -> nn.Module:
+    """Instantiate a score function by name (operations_lp.py:26-30).
+
+    ``with_sigmoid=False`` returns raw logits — the saturation-proof
+    BCE-with-logits training path (models/lp.bce_logits_loss); sigmoid
+    is monotone, so ranking is unchanged."""
     if name == "sf_TransE":
-        return S.SfTransE(gamma=args.get("gamma", 40.0))
+        return S.SfTransE(gamma=args.get("gamma", 40.0), with_sigmoid=with_sigmoid)
     if name == "sf_DisMult":
-        return S.SfDistMult()
+        return S.SfDistMult(with_sigmoid=with_sigmoid)
     if name == "sf_ConvE":
         return S.SfConvE(
             embed_dim=args.get("embed_dim", 200),
@@ -85,6 +89,7 @@ def make_score_fn(name: str, args: OpArgs) -> nn.Module:
             k_h=args.get("k_h", 20),
             conve_hid_drop=args.get("conve_hid_drop", 0.3),
             feat_drop=args.get("feat_drop", 0.3),
+            with_sigmoid=with_sigmoid,
         )
     raise KeyError(f"unknown score function {name!r}")
 

@@ -22,6 +22,8 @@ class SfTransE(nn.Module):
 
     gamma: float = 40.0
     chunk: int = 8
+    with_sigmoid: bool = True  # False -> raw logits (the saturation-proof
+    # BCE-with-logits training path, models/lp.bce_logits_loss)
 
     @nn.compact
     def __call__(self, all_ent: jax.Array, sub: jax.Array, rel: jax.Array, training: bool = False):
@@ -36,16 +38,18 @@ class SfTransE(nn.Module):
 
         chunks = obj_p.reshape(-1, self.chunk, obj.shape[-1])
         x = jax.lax.map(score_chunk, chunks).reshape(-1, all_ent.shape[0])[:b]
-        return jax.nn.sigmoid(x)
+        return jax.nn.sigmoid(x) if self.with_sigmoid else x
 
 
 class SfDistMult(nn.Module):
     """sigmoid((s * r) @ all_ent^T) (operations_lp.py:115-127)."""
 
+    with_sigmoid: bool = True  # see SfTransE
+
     @nn.compact
     def __call__(self, all_ent: jax.Array, sub: jax.Array, rel: jax.Array, training: bool = False):
         x = jnp.dot(sub * rel, all_ent.T, preferred_element_type=jnp.float32)
-        return jax.nn.sigmoid(x)
+        return jax.nn.sigmoid(x) if self.with_sigmoid else x
 
 
 class SfConvE(nn.Module):

@@ -43,13 +43,17 @@ class Predictor:
     def _score_impl(self, subj, rel):
         sub_emb = jnp.take(self.ent_emb, subj, axis=0)
         rel_e = jnp.take(self.rel_emb, rel, axis=0)
-        return self.model.apply(
-            self.variables,
-            self.ent_emb,
-            sub_emb,
-            rel_e,
-            False,
-            method=lambda m, a, s, r, t: m.score_fn(a, s, r, t),
+        # score_fn is logits-native (models/lp.py); serving keeps the
+        # probability contract
+        return jax.nn.sigmoid(
+            self.model.apply(
+                self.variables,
+                self.ent_emb,
+                sub_emb,
+                rel_e,
+                False,
+                method=lambda m, a, s, r, t: m.score_fn(a, s, r, t),
+            )
         )
 
     def scores(self, subj, rel) -> jax.Array:

@@ -20,7 +20,7 @@ from mr_gnas_tpu.cells import Genotype, genotypes_from_json, parse_reference_gen
 from mr_gnas_tpu.data import load_dataset, process
 from mr_gnas_tpu.data.labels import iterate_batches
 from mr_gnas_tpu.graph import build_rel_graph
-from mr_gnas_tpu.models import LPNetwork, bce_probs_loss
+from mr_gnas_tpu.models import LPNetwork, bce_logits_loss
 from mr_gnas_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mr_gnas_tpu.train.config import LPTrainConfig
 from mr_gnas_tpu.train.eval import (
@@ -165,25 +165,31 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
 
     # mask-weighted BCE: padded final-batch rows and padded entity
     # columns are excluded from the mean exactly (the reference's
-    # tensors are unpadded)
+    # tensors are unpadded). The loss consumes raw decoder LOGITS
+    # (bce_logits_loss): same value as the reference's BCELoss-on-
+    # sigmoid, but the gradient survives decoder saturation (the probs
+    # form's eps-clip stalls ConvE — NOTES round-3).
     def _train_loss(params, bstats, g, subj, rel, labels, row_mask, cmask, dkey, axis):
-        probs, mut = model.apply(
+        logits, mut = model.apply(
             {"params": params, "batch_stats": bstats},
             g, subj, rel, True,
             mutable=["batch_stats"], rngs={"dropout": dkey},
+            method="logits",
         )
-        l = bce_probs_loss(probs, labels, row_mask, cmask, axis=axis)
+        l = bce_logits_loss(logits, labels, row_mask, cmask, axis=axis)
         return l, mut["batch_stats"]
 
     def _eval_body(params, bstats, g, subj, rel, obj, labels, cmask, axis):
-        probs = model.apply(
-            {"params": params, "batch_stats": bstats}, g, subj, rel, False
+        logits = model.apply(
+            {"params": params, "batch_stats": bstats}, g, subj, rel, False,
+            method="logits",
         )
-        loss = bce_probs_loss(probs, labels, None, cmask, axis=axis)
-        # ranking is row-sharded under SPMD: each device ranks its (s, r)
-        # query slice against the full entity axis — no [B, N] score
-        # matrix ever lives on one device
-        ranks = filtered_ranks(probs, labels, obj, cmask)
+        loss = bce_logits_loss(logits, labels, None, cmask, axis=axis)
+        # ranking on logits == ranking on probs (sigmoid is monotone);
+        # row-sharded under SPMD: each device ranks its (s, r) query
+        # slice against the full entity axis — no [B, N] score matrix
+        # ever lives on one device
+        ranks = filtered_ranks(logits, labels, obj, cmask)
         return ranks, loss
 
     if mesh is None:
