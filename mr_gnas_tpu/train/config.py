@@ -89,7 +89,11 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     eval_batch_size: int = 1000
     eval_protocol: str = "filtered"
     n_nodes_pad: int = 0  # 0 -> auto (2 * graph_batch_size, rounded)
-    bf16: bool = False  # bfloat16 compute in the fused supernet cells
+    bf16: int = -1  # bfloat16 compute in the fused supernet cells and
+    # the triplet score path. -1 = auto: ON for TPU backends, off
+    # elsewhere — validated by the 500-step alpha-trajectory study at
+    # the 131k headline config (NOTES round-3): identical decoded
+    # genotypes, stage-alpha cosine >= 0.9999, equal losses vs f32.
     megakernel: int = -1  # training stages via the Pallas BN-mix
     # mega-kernel (kernels/bn_mix.py): the [p, K, R, D] op/BN slabs never
     # touch HBM. -1 = auto (on for TPU backends — +18% measured at the

@@ -76,6 +76,13 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     n_nodes_pad = round_up(n_nodes_pad, 2 * data_n)
     n_nodes_pad_val = round_up(n_nodes_pad_val, 2 * data_n)
 
+    # bf16 auto-default: ON for TPU (go/no-go study in NOTES round-3 —
+    # identical genotypes + alpha trajectories vs f32 over 500 steps at
+    # the 131k config), off for CPU where bf16 is emulated
+    use_bf16 = (
+        jax.default_backend() == "tpu" if cfg.bf16 < 0 else bool(cfg.bf16)
+    )
+
     # Pallas CSR kernels: on for TPU. Under a mesh each shard gets its own
     # blocked CSR (dist/spmd.build_local_graph) — compiled Mosaic runs
     # fine inside shard_map on TPU; interpret-mode (CPU) cannot trace
@@ -129,7 +136,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         num_base_r=cfg.num_base_r,
         dropout_cell=cfg.dropout_cell,
         drop_aggr=cfg.drop_aggr,
-        compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
+        compute_dtype=_jnp.bfloat16 if use_bf16 else _jnp.float32,
         megakernel=(
             jax.default_backend() == "tpu" and mesh is None
             if cfg.megakernel < 0
@@ -177,7 +184,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     # bf16 runs the triplet path (gather + score products + grad
     # scatter-add, the largest fusions of the profiled step) at half
     # bytes; reductions accumulate f32 (models/lp._gather_sro)
-    loss_dt = _jnp.bfloat16 if cfg.bf16 else None
+    loss_dt = _jnp.bfloat16 if use_bf16 else None
 
     def score_loss(e, r, alphas, trip, lab):
         sf_w = (
