@@ -36,6 +36,12 @@ def main():
         "--pallas-agg", action="store_true",
         help="per-shard blocked-CSR Pallas aggregation (TPU only)",
     )
+    ap.add_argument(
+        "--spmd-at-1", action="store_true",
+        help="run the manual-SPMD (shard_map) path even on 1 device — "
+        "measures the sharded program's overhead vs the plain path on a "
+        "single chip (collectives are no-ops on a 1-device mesh)",
+    )
     args = ap.parse_args()
 
     import os
@@ -102,9 +108,15 @@ def main():
     results = []
     n = 1
     while n <= max_dev:
-        if n == 1:
+        if n == 1 and not args.spmd_at_1:
             loss_fn = local_loss_fn
             graph = batch.graph
+            if args.pallas_agg:
+                import dataclasses
+
+                from mr_gnas_tpu.graph.build import attach_csr
+
+                graph = attach_csr(graph, static_pad=True)
             trip = jnp.asarray(batch.triplets)
             lab = (jnp.asarray(batch.neg_heads), jnp.asarray(batch.neg_tails))
             mesh = None
