@@ -90,6 +90,7 @@ def make_score_fn(name: str, args: OpArgs, with_sigmoid: bool = True) -> nn.Modu
             conve_hid_drop=args.get("conve_hid_drop", 0.3),
             feat_drop=args.get("feat_drop", 0.3),
             with_sigmoid=with_sigmoid,
+            out_bias=bool(args.get("conve_out_bias", False)),
         )
     raise KeyError(f"unknown score function {name!r}")
 

@@ -68,6 +68,12 @@ class SfConvE(nn.Module):
     conve_hid_drop: float = 0.3
     feat_drop: float = 0.3
     with_sigmoid: bool = True  # False -> raw logits (CompGCN adds a bias)
+    out_bias: bool = False  # per-entity bias added after the matmul —
+    # the ORIGINAL ConvE's `b` parameter, which MR-GNAS's variant drops
+    # (operations_lp.py:130-200 has no bias). Off by default for
+    # reference parity; opt-in because without it the all-zero-logit
+    # dying-relu basin (x = relu(bn2(.)) >= 0, logits = x @ E^T) has no
+    # escape hatch on small graphs (NOTES round-3 ConvE analysis).
 
     @nn.compact
     def __call__(self, all_ent: jax.Array, sub: jax.Array, rel: jax.Array, training: bool = False):
@@ -99,4 +105,8 @@ class SfConvE(nn.Module):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9, name="bn2")(x)
         x = jax.nn.relu(x)
         x = jnp.dot(x, all_ent.T, preferred_element_type=jnp.float32)
+        if self.out_bias:
+            x = x + self.param(
+                "b", nn.initializers.zeros_init(), (all_ent.shape[0],)
+            )
         return jax.nn.sigmoid(x) if self.with_sigmoid else x

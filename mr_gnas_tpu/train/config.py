@@ -159,6 +159,10 @@ class LPTrainConfig(BaseConfig):
     num_filt: int = 128
     ker_sz: int = 8
     embed_dim: int = 128
+    conve_out_bias: bool = False  # the ORIGINAL ConvE's per-entity
+    # output bias (the reference's variant drops it); opt-in escape
+    # hatch for the dying-relu zero-logit basin on small graphs
+    # (NOTES round-3 ConvE analysis)
 
     def score_args(self) -> dict[str, Any]:
         return {
@@ -170,6 +174,7 @@ class LPTrainConfig(BaseConfig):
             "ker_sz": self.ker_sz,
             "k_w": self.k_w,
             "k_h": self.k_h,
+            "conve_out_bias": self.conve_out_bias,
         }
 
 
