@@ -304,20 +304,21 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     n_steps = max_steps or cfg.epochs
     arch_loss = jnp.zeros(())
     profiler = None
-    for epoch in range(start_epoch, n_steps):
-        # optional profiler capture of the first post-compile steps
-        if cfg.profile_steps > 0 and epoch == start_epoch + 2:
-            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
-            profiler = epoch
-        if profiler is not None and epoch == profiler + cfg.profile_steps:
-            jax.profiler.stop_trace()
-            log.info("profiler trace written to %s/profile", run_dir)
-            profiler = None
-        # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
+
+    def make_batches(epoch):
+        """Sample + device-transfer one epoch's train/val batches.
+
+        Derived purely from (seed, epoch), so running it on the prefetch
+        thread is bit-identical to inline sampling (resume unaffected).
+        The jnp.asarray pushes start the host->device transfers here —
+        on this rig the axon tunnel's transfer of the ~7 MB batch
+        arrays dominates the 131k-config epoch, and the prefetch thread
+        overlaps it with the previous epoch's device steps."""
         ep_rng = np.random.default_rng([cfg.seed, epoch])
-        k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
         batch = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, ep_rng)
-        batch_val = sample(kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val, ep_rng)
+        batch_val = sample(
+            kg.valid, cfg.graph_batch_size_val, adj_v, deg_v, n_nodes_pad_val, ep_rng
+        )
         trip = jnp.asarray(batch.triplets)
         trip_v = jnp.asarray(batch_val.triplets)
         if cfg.grouped_negatives:
@@ -328,6 +329,36 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         else:
             lab = jnp.asarray(batch.labels)
             lab_v = jnp.asarray(batch_val.labels)
+        if mesh is None:
+            # push the graph arrays too (LocalBatch is already on device)
+            batch = dataclasses.replace(
+                batch, graph=jax.tree.map(jnp.asarray, batch.graph)
+            )
+            batch_val = dataclasses.replace(
+                batch_val, graph=jax.tree.map(jnp.asarray, batch_val.graph)
+            )
+        return batch, batch_val, trip, trip_v, lab, lab_v
+
+    import concurrent.futures
+    import dataclasses
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(make_batches, start_epoch) if start_epoch < n_steps else None
+    for epoch in range(start_epoch, n_steps):
+        # optional profiler capture of the first post-compile steps
+        if cfg.profile_steps > 0 and epoch == start_epoch + 2:
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+            profiler = epoch
+        if profiler is not None and epoch == profiler + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            log.info("profiler trace written to %s/profile", run_dir)
+            profiler = None
+        # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
+        k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
+        batch, batch_val, trip, trip_v, lab, lab_v = pending.result()
+        pending = (
+            pool.submit(make_batches, epoch + 1) if epoch + 1 < n_steps else None
+        )
 
         if epoch >= cfg.warm_epochs:
             if cfg.unrolled:
@@ -409,6 +440,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
 
     if profiler is not None:
         jax.profiler.stop_trace()
+    pool.shutdown(wait=False, cancel_futures=True)
     genotypes = decoded()
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),
