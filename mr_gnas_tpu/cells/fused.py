@@ -688,6 +688,9 @@ class FusedSupernetCellNC(nn.Module):
     def __call__(self, graph, src_emb, hr, weights, training: bool):
         spec, d = self.spec, self.feature_dim
         assert spec.task == "nc"
+        # sharded-local blocks (dist/spmd.py): BN stats psum over `axis`,
+        # the middle-stage partials merge across it (see the LP cell)
+        axis = graph.spmd_axis
         p1, p2, m_nodes = spec.n_first_edges, spec.n_last_edges, spec.first_nodes
         edge_mask, node_mask = graph.edge_mask, graph.node_mask
         cdt = self.compute_dtype
@@ -708,7 +711,7 @@ class FusedSupernetCellNC(nn.Module):
         bn_zero = self._bn_decl("bn_zero", (1, 3))
         h_in = self._mix(
             bn_zero, slice(0, 1), post_linear(z_stack, zw, zb),
-            edge_mask, weights["zero"][:1], training,
+            edge_mask, weights["zero"][:1], training, axis=axis,
         )
 
         # ---------------- first stage ----------------
@@ -751,7 +754,7 @@ class FusedSupernetCellNC(nn.Module):
             states.append(
                 self._mix_const_op0(
                     bn_first, sl, stack, edge_mask, weights["first"][sl], training,
-                    pb[sl][:, 0],
+                    pb[sl][:, 0], axis=axis,
                 )
             )
             done += p_i
@@ -773,26 +776,47 @@ class FusedSupernetCellNC(nn.Module):
         )
         # padded block edges route to the dummy segment (blocks.py:123),
         # so no [M, E, D] mask slabs are needed (see the LP middle stage)
-        vmax = jax.vmap(lambda x: segment_max(x, graph.dst, graph.n_nodes, None))
-        vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, graph.n_nodes, None))
+        n_agg = graph.agg_nodes
+        vmax = jax.vmap(lambda x: segment_max(x, graph.dst, n_agg, None))
+        vsum = jax.vmap(lambda x: segment_sum(x, graph.dst, n_agg, None))
         from mr_gnas_tpu.kernels.segment import segment_count
 
         # one scatter pass for a_sum's input and a_mean's numerator (see
         # the LP cell's middle stage)
         summed = vsum(jnp.concatenate([S, lin[:, 1]], axis=-1))
         a_sum, mean_num = summed[..., :d], summed[..., d:]
-        cnt = segment_count(graph.dst, graph.n_nodes, None)
+        cnt = segment_count(graph.dst, n_agg, None)
+        agg_max = vmax(lin[:, 0])
+        if axis is not None:
+            # merge per-shard partials -> this device's dst-node block
+            # (reduce-scatter sums/counts; all-to-all max — exact, the
+            # max messages are relu'd >= 0)
+            from mr_gnas_tpu.dist.spmd import (
+                max_merge_nodes,
+                scatter_sum_nodes,
+                scatter_sum_vec,
+            )
+
+            n_dev = graph.n_nodes_global // graph.n_nodes
+            agg_max = max_merge_nodes(axis, n_dev, agg_max)
+            merged = scatter_sum_nodes(
+                jnp.concatenate([a_sum, mean_num], axis=-1), axis
+            )
+            a_sum, mean_num = merged[..., :d], merged[..., d:]
+            cnt = scatter_sum_vec(cnt, axis)
         a_mean = jnp.where(
             cnt[:, None] > 0,
             mean_num / jnp.maximum(cnt[:, None], 1.0).astype(mean_num.dtype),
             0.0,
         ).astype(mean_num.dtype)
         mid_stack = jnp.stack(
-            [vmax(lin[:, 0]), a_sum, a_mean], axis=1
+            [agg_max, a_sum, a_mean], axis=1
         )  # NC_MIDDLE_OPS order (a_max, a_sum, a_mean)
         mid_stack = post_linear(mid_stack.astype(cdt), mw, mb)
         y = jax.nn.relu(
-            self._bn_apply(bn_mid, slice(0, m_nodes), mid_stack, node_mask, training)
+            self._bn_apply(
+                bn_mid, slice(0, m_nodes), mid_stack, node_mask, training, axis=axis
+            )
         )
         node_states = list(jnp.einsum("mknd,mk->mnd", y, weights["middle"].astype(y.dtype)))
 
@@ -824,7 +848,7 @@ class FusedSupernetCellNC(nn.Module):
             node_states.append(
                 self._mix_const_op0(
                     bn_last, sl, stack, node_mask, weights["last"][sl], training,
-                    qb[sl][:, 0],
+                    qb[sl][:, 0], axis=axis,
                 )
             )
             done += p_i
@@ -834,7 +858,7 @@ class FusedSupernetCellNC(nn.Module):
         )
         from mr_gnas_tpu.layers import MaskedBatchNorm
 
-        h = MaskedBatchNorm(name="bn_out")(h, node_mask, training)
+        h = MaskedBatchNorm(name="bn_out", axis_name=axis)(h, node_mask, training)
         h = jax.nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
         return h

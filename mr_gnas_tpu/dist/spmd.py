@@ -244,6 +244,98 @@ def local_view(tree):
     return jax.tree.map(lambda x: jnp.squeeze(x, axis=0), tree)
 
 
+def build_local_blocks(blocks, n_dev: int, axis: str = "data"):
+    """NC MFG blocks -> per-device local Blocks stacked on a leading
+    device axis (the NC analog of :func:`build_local_graph`).
+
+    Per block: edge rows re-pad to a multiple of ``n_dev`` and shard
+    contiguously; dst nodes re-pad and split into contiguous node
+    blocks. ``dst_pos`` keeps GLOBAL positions (padded edges route to
+    the global dummy segment n_dst_pad); ``src_pos`` keeps global
+    positions into the PREVIOUS block's dst space (consumed against the
+    per-layer all-gathered node table, models/nc.py). BN masks stay
+    exact, so sharded == single-device on all real rows."""
+    from mr_gnas_tpu.graph.container import Block
+
+    def round_up(x, m):
+        return -(-x // m) * m
+
+    out = []
+    for blk in blocks:
+        ne, nd = blk.n_edges, blk.n_dst
+        ne_p, nd_p = round_up(ne, n_dev), round_up(nd, n_dev)
+        ne_l, nd_l = ne_p // n_dev, nd_p // n_dev
+
+        def pad_rows(a, n, fill):
+            a = np.asarray(jax.device_get(a))
+            x = np.full((n, *a.shape[1:]), fill, a.dtype)
+            x[: len(a)] = a
+            return x
+
+        dst_pos = pad_rows(blk.dst_pos, ne_p, nd_p)
+        # existing padded edges pointed at the OLD dummy segment n_dst
+        dst_pos[dst_pos == nd] = nd_p
+        e_arrs = {
+            "src_gid": pad_rows(blk.src_gid, ne_p, 0),
+            "src_pos": pad_rows(blk.src_pos, ne_p, 0),
+            "dst_pos": dst_pos,
+            "etype": pad_rows(blk.etype, ne_p, 0),
+            "edge_mask": pad_rows(blk.edge_mask, ne_p, 0.0),
+        }
+        d_arrs = {
+            "dst_gid": pad_rows(blk.dst_gid, nd_p, 0),
+            "dst_mask": pad_rows(blk.dst_mask, nd_p, 0.0),
+        }
+        out.append(
+            Block(
+                **{
+                    k: jnp.asarray(v.reshape(n_dev, ne_l, *v.shape[1:]))
+                    for k, v in e_arrs.items()
+                },
+                **{
+                    k: jnp.asarray(v.reshape(n_dev, nd_l, *v.shape[1:]))
+                    for k, v in d_arrs.items()
+                },
+                n_edges=ne_l,
+                n_dst=nd_l,
+                spmd_axis=axis,
+                n_dst_global=nd_p,
+            )
+        )
+    return out
+
+
+def make_spmd_loss_nc(mesh: Mesh, local_loss_fn, axis: str = "data"):
+    """NC analog of :func:`make_spmd_loss`: wrap a ``(params, bstats,
+    alphas, blocks, seed_pos, labels, mask, dkey) -> (loss, bstats)``
+    loss into its shard_map'd form. Blocks arrive stacked
+    (:func:`build_local_blocks` + :func:`shard_local_tree`); seed
+    tensors are replicated (the final logits are all-gathered inside
+    the model, so seed_pos indexes the global dst table)."""
+    from jax.sharding import PartitionSpec as P
+
+    def loss_fn(params, bstats, alphas, blocks, seed_pos, labels, mask, dkey):
+        bspec = jax.tree.map(lambda _: P(axis), blocks)
+
+        def f(params, bstats, alphas, bstack, seed_pos, labels, mask, dkey):
+            blks = local_view(bstack)
+            dk = jax.random.fold_in(dkey, jax.lax.axis_index(axis))
+            loss, bs = local_loss_fn(
+                params, bstats, alphas, blks, seed_pos, labels, mask, dk
+            )
+            # the loss is computed from all-gathered logits — identical
+            # on every device; pmean makes that provable to the vma check
+            return jax.lax.pmean(loss, axis), bs
+
+        return jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(), P(), bspec, P(), P(), P(), P()),
+            out_specs=(P(), P()),
+        )(params, bstats, alphas, blocks, seed_pos, labels, mask, dkey)
+
+    return loss_fn
+
+
 def make_spmd_loss(mesh: Mesh, local_loss_fn, axis: str = "data"):
     """Wrap a ``(params, bstats, alphas, graph, trip, lab, dkey, training)
     -> (loss, bstats)`` loss into its shard_map'd manual-SPMD equivalent.

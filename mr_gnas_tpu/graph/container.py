@@ -156,6 +156,12 @@ class Block:
     dst_mask: jax.Array
     n_edges: int = flax.struct.field(pytree_node=False)
     n_dst: int = flax.struct.field(pytree_node=False)
+    # sharded-local view (dist/spmd.build_local_blocks): edge rows are
+    # this device's slice, dst_gid/dst_mask its dst-node block; dst_pos/
+    # src_pos keep GLOBAL positions into n_dst_global / the previous
+    # block's global dst space
+    spmd_axis: str | None = flax.struct.field(pytree_node=False, default=None)
+    n_dst_global: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def as_edge_graph(block: Block) -> "EdgeGraph":
@@ -166,6 +172,8 @@ def as_edge_graph(block: Block) -> "EdgeGraph":
         node_mask=block.dst_mask,
         n_edges=block.n_edges,
         n_nodes=block.n_dst,
+        spmd_axis=block.spmd_axis,
+        n_nodes_global=block.n_dst_global,
     )
 
 
@@ -175,6 +183,13 @@ class EdgeGraph:
 
     NC ops operate on [E, D] per-edge tensors and segment-reduce to
     [n_nodes, D] (reference models/operations.py:109-164).
+
+    Sharded-local view (dist/spmd.py): when ``spmd_axis`` is set this is
+    ONE device's shard inside a jax.shard_map — edge rows are this
+    device's contiguous slice, ``node_mask`` covers only its dst-node
+    block (n_nodes rows), while ``dst`` holds GLOBAL dst positions into
+    the ``n_nodes_global`` space; the NC cells psum BN statistics and
+    merge aggregation partials over the axis.
     """
 
     dst: jax.Array
@@ -182,3 +197,10 @@ class EdgeGraph:
     node_mask: jax.Array
     n_edges: int = flax.struct.field(pytree_node=False)
     n_nodes: int = flax.struct.field(pytree_node=False)
+    spmd_axis: str | None = flax.struct.field(pytree_node=False, default=None)
+    n_nodes_global: int = flax.struct.field(pytree_node=False, default=0)
+
+    @property
+    def agg_nodes(self) -> int:
+        """Aggregation target count (global in the sharded-local view)."""
+        return self.n_nodes_global or self.n_nodes

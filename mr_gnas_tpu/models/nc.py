@@ -83,6 +83,14 @@ class NCSupernet(nn.Module):
     @nn.compact
     def __call__(self, blocks: Sequence[Block], alphas: dict, training: bool = False):
         assert len(blocks) == self.layers
+        # sharded-local blocks (dist/spmd.build_local_blocks): cells merge
+        # aggregation partials and psum BN stats over `axis`; one
+        # all-gather per layer rebuilds the dst-node table for the next
+        # block's src_pos re-gather, and the final logits are gathered so
+        # seed_pos indexing stays global
+        axis = blocks[0].spmd_axis
+        if axis is not None and not self.fused:
+            raise ValueError("spmd sharded blocks require fused=True cells")
         emb = _NCEmbeddings(
             self.num_nodes,
             self.num_rels,
@@ -118,15 +126,25 @@ class NCSupernet(nn.Module):
                 )
             node_embed = cell(g, src_embed, edges_embed, w, training)
             if i + 1 < len(blocks):
-                # next layer's per-edge src rows, gathered by position
-                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0, mode="clip")
+                nxt = node_embed
+                if axis is not None:
+                    from mr_gnas_tpu.dist.spmd import all_gather_nodes
 
-        h = MaskedBatchNorm(name="bn_h")(
+                    nxt = all_gather_nodes(node_embed, axis)
+                # next layer's per-edge src rows, gathered by position
+                src_embed = jnp.take(nxt, blocks[i + 1].src_pos, axis=0, mode="clip")
+
+        h = MaskedBatchNorm(name="bn_h", axis_name=axis)(
             node_embed, blocks[-1].dst_mask, training
         )
         h = jax.nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
-        return MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+        logits = MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+        if axis is not None:
+            from mr_gnas_tpu.dist.spmd import all_gather_nodes
+
+            logits = all_gather_nodes(logits, axis)
+        return logits
 
 
 class NCNetwork(nn.Module):
@@ -144,6 +162,8 @@ class NCNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, blocks: Sequence[Block], training: bool = False):
+        # sharded-local blocks: same collective structure as NCSupernet
+        axis = blocks[0].spmd_axis
         emb = _NCEmbeddings(
             self.num_nodes,
             self.num_rels,
@@ -168,12 +188,24 @@ class NCNetwork(nn.Module):
             )
             node_embed = cell(g, src_embed, edges_embed, training)
             if i + 1 < len(blocks):
-                src_embed = jnp.take(node_embed, blocks[i + 1].src_pos, axis=0, mode="clip")
+                nxt = node_embed
+                if axis is not None:
+                    from mr_gnas_tpu.dist.spmd import all_gather_nodes
 
-        h = MaskedBatchNorm(name="bn_h")(node_embed, blocks[-1].dst_mask, training)
+                    nxt = all_gather_nodes(node_embed, axis)
+                src_embed = jnp.take(nxt, blocks[i + 1].src_pos, axis=0, mode="clip")
+
+        h = MaskedBatchNorm(name="bn_h", axis_name=axis)(
+            node_embed, blocks[-1].dst_mask, training
+        )
         h = jax.nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
-        return MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+        logits = MLPClassifier(self.feature_dim, self.num_classes, name="classifier")(h)
+        if axis is not None:
+            from mr_gnas_tpu.dist.spmd import all_gather_nodes
+
+            logits = all_gather_nodes(logits, axis)
+        return logits
 
 
 def nc_loss(logits, labels, mask):

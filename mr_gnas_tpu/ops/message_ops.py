@@ -254,6 +254,54 @@ class FDenseComp(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _nc_reduce(graph: EdgeGraph, msg: jax.Array, op: str) -> jax.Array:
+    """NC edge->dst segment reduce, sharded-local aware.
+
+    Under ``graph.spmd_axis`` (dist/spmd.py) the local edge shard
+    reduces into [N_glob, D] partials merged across the axis
+    (reduce-scatter sums / all-to-all max — exact for the relu'd >= 0
+    max messages), returning this device's dst-node block."""
+    n_agg = graph.agg_nodes
+    spmd = graph.spmd_axis is not None
+    if not spmd:
+        fn = {"sum": segment_sum, "max": segment_max, "mean": segment_mean,
+              "std": segment_std}[op]
+        return fn(msg, graph.dst, n_agg, graph.edge_mask)
+    from mr_gnas_tpu.dist.spmd import (
+        max_merge_nodes,
+        scatter_sum_nodes,
+        scatter_sum_vec,
+    )
+    from mr_gnas_tpu.kernels.segment import segment_count
+
+    ax = graph.spmd_axis
+    n_dev = graph.n_nodes_global // graph.n_nodes
+    if op == "max":
+        return max_merge_nodes(
+            ax, n_dev, segment_max(msg, graph.dst, n_agg, graph.edge_mask)
+        )
+    if op == "sum":
+        return scatter_sum_nodes(
+            segment_sum(msg, graph.dst, n_agg, graph.edge_mask), ax
+        )
+    cnt = scatter_sum_vec(segment_count(graph.dst, n_agg, graph.edge_mask), ax)
+    if op == "mean":
+        s = scatter_sum_nodes(segment_sum(msg, graph.dst, n_agg, graph.edge_mask), ax)
+        return jnp.where(cnt[:, None] > 0, s / jnp.maximum(cnt[:, None], 1.0), 0.0)
+    # std: sqrt(relu(E[x^2] - E[x]^2) + eps), merged moments (EPS matches
+    # segment_std's)
+    d = msg.shape[-1]
+    s = scatter_sum_nodes(
+        segment_sum(jnp.concatenate([msg, msg * msg], axis=-1),
+                    graph.dst, n_agg, graph.edge_mask),
+        ax,
+    )
+    denom = jnp.maximum(cnt[:, None], 1.0)
+    mean = jnp.where(cnt[:, None] > 0, s[:, :d] / denom, 0.0)
+    mean_sq = jnp.where(cnt[:, None] > 0, s[:, d:] / denom, 0.0)
+    return jnp.sqrt(jax.nn.relu(mean_sq - mean * mean) + 1e-5)
+
+
 class AMaxNC(nn.Module):
     """relu(Linear(msg)) -> segment-max to dst (operations.py:109-121)."""
 
@@ -262,7 +310,7 @@ class AMaxNC(nn.Module):
     @nn.compact
     def __call__(self, graph: EdgeGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
         msg = jax.nn.relu(dense(self.feature_dim)(h))
-        return segment_max(msg, graph.dst, graph.n_nodes, graph.edge_mask)
+        return _nc_reduce(graph, msg, "max")
 
 
 class AMeanNC(nn.Module):
@@ -273,7 +321,7 @@ class AMeanNC(nn.Module):
     @nn.compact
     def __call__(self, graph: EdgeGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
         msg = jax.nn.relu(dense(self.feature_dim)(h))
-        return segment_mean(msg, graph.dst, graph.n_nodes, graph.edge_mask)
+        return _nc_reduce(graph, msg, "mean")
 
 
 class ASumNC(nn.Module):
@@ -281,7 +329,7 @@ class ASumNC(nn.Module):
 
     @nn.compact
     def __call__(self, graph: EdgeGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
-        return segment_sum(h, graph.dst, graph.n_nodes, graph.edge_mask)
+        return _nc_reduce(graph, h, "sum")
 
 
 class AStdNC(nn.Module):
@@ -289,7 +337,7 @@ class AStdNC(nn.Module):
 
     @nn.compact
     def __call__(self, graph: EdgeGraph, h: jax.Array, h_in: jax.Array, training: bool = False):
-        return segment_std(h, graph.dst, graph.n_nodes, graph.edge_mask)
+        return _nc_reduce(graph, h, "std")
 
 
 class _ALPBase(nn.Module):

@@ -39,13 +39,18 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
         f.write(cfg.to_json())
     key = jax.random.key(cfg.seed)
 
-    # distribution: blocks' edge rows shard over the 'data' axis
+    # distribution: manual-SPMD block partitioning (dist/spmd.py) —
+    # each device owns a contiguous slice of every block's edge rows
+    # plus a dst-node block; cells merge aggregation partials and psum
+    # BN statistics; one all-gather per layer
     mesh = None
+    data_n = 1
     if cfg.mesh_shape:
-        from mr_gnas_tpu.dist import make_mesh, replicate, shard_blocks
+        from mr_gnas_tpu.dist import make_mesh, replicate
 
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        log.info("mesh: %s", dict(mesh.shape))
+        data_n = mesh.shape.get("data", 1)
+        log.info("mesh: %s (manual-SPMD block partitioning)", dict(mesh.shape))
 
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
     csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
@@ -70,14 +75,17 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     )
     alphas = init_alphas(key, spec, cfg.layers)
 
-    def make_blocks(seeds):
+    def make_blocks(seeds, raw: bool = False):
         blocks, sp = build_blocks(csr, seeds, cfg.layers)
-        if mesh is not None:
-            blocks = shard_blocks(blocks, mesh)
+        if mesh is not None and not raw:
+            from mr_gnas_tpu.dist.spmd import build_local_blocks, shard_local_tree
+
+            blocks = shard_local_tree(build_local_blocks(blocks, data_n), mesh)
         return blocks, sp
 
     seeds0 = ds.target_ids[train_idx[: cfg.batch_size]]
-    blocks0, _ = make_blocks(seeds0)
+    # init on plain (unsharded) blocks: param shapes are identical
+    blocks0, _ = make_blocks(seeds0, raw=True)
     variables = model.init(jax.random.key(cfg.seed + 1), blocks0, alphas, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
     if mesh is not None:
@@ -104,13 +112,20 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
         start_epoch = (meta or {}).get("epoch", -1) + 1
         log.info("resuming search at epoch %s from %s", start_epoch, cfg.checkpoint)
 
-    def loss_of(params, bstats, alphas, blocks, seed_pos, labels, mask, dkey):
+    def _local_loss(params, bstats, alphas, blocks, seed_pos, labels, mask, dkey):
         logits, mut = model.apply(
             {"params": params, "batch_stats": bstats},
             blocks, alphas, True,
             mutable=["batch_stats"], rngs={"dropout": dkey},
         )
         return nc_loss(logits[seed_pos], labels, mask), mut["batch_stats"]
+
+    if mesh is None:
+        loss_of = _local_loss
+    else:
+        from mr_gnas_tpu.dist.spmd import make_spmd_loss_nc
+
+        loss_of = make_spmd_loss_nc(mesh, _local_loss)
 
     @jax.jit
     def arch_step_first(params, bstats, alphas, a_opt, blocks, seed_pos, labels, mask, dkey):
@@ -155,11 +170,31 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
         updates, w_opt = w_tx.update(grads, w_opt, params)
         return optax.apply_updates(params, updates), new_bs, w_opt, loss
 
-    @jax.jit
-    def eval_logits(params, bstats, alphas, blocks):
+    def _apply_logits(params, bstats, alphas, blocks):
         return model.apply(
             {"params": params, "batch_stats": bstats}, blocks, alphas, False
         )
+
+    if mesh is None:
+        eval_logits = jax.jit(_apply_logits)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from mr_gnas_tpu.dist.spmd import local_view
+
+        @jax.jit
+        def eval_logits(params, bstats, alphas, blocks):
+            bspec = jax.tree.map(lambda _: P("data"), blocks)
+
+            def f(params, bstats, alphas, bstack):
+                out = _apply_logits(params, bstats, alphas, local_view(bstack))
+                # all-gathered logits are identical on every device;
+                # pmean makes that provable to the vma check
+                return jax.lax.pmean(out, "data")
+
+            return jax.shard_map(
+                f, mesh=mesh, in_specs=(P(), P(), P(), bspec), out_specs=P()
+            )(params, bstats, alphas, blocks)
 
     def batch_inputs(idx_batch, mask):
         seeds = ds.target_ids[idx_batch]

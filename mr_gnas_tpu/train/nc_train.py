@@ -42,11 +42,13 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
     # distribution: blocks' edge rows shard over the 'data' axis (the
     # block edge buckets are powers of two, so the axis size divides)
     mesh = None
+    data_n = 1
     if cfg.mesh_shape:
-        from mr_gnas_tpu.dist import make_mesh, replicate, shard_blocks
+        from mr_gnas_tpu.dist import make_mesh, replicate
 
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
-        log.info("mesh: %s", dict(mesh.shape))
+        data_n = mesh.shape.get("data", 1)
+        log.info("mesh: %s (manual-SPMD block partitioning)", dict(mesh.shape))
 
     ds = load_nc_dataset(cfg.dataset, cfg.data_root)
     csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
@@ -68,14 +70,19 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
     )
     layers = len(genotypes)
 
-    def make_blocks(seeds):
+    def make_blocks(seeds, raw: bool = False):
         blocks, sp = build_blocks(csr, seeds, layers)
-        if mesh is not None:
-            blocks = shard_blocks(blocks, mesh)
+        if mesh is not None and not raw:
+            from mr_gnas_tpu.dist.spmd import build_local_blocks, shard_local_tree
+
+            blocks = shard_local_tree(
+                build_local_blocks(blocks, data_n), mesh
+            )
         return blocks, sp
 
     seeds0 = ds.target_ids[ds.train_idx[: cfg.batch_size]]
-    blocks0, _ = make_blocks(seeds0)
+    # init on plain (unsharded) blocks: param shapes are identical
+    blocks0, _ = make_blocks(seeds0, raw=True)
     variables = model.init(key, blocks0, False)
     params, bstats = variables["params"], variables.get("batch_stats", {})
     if mesh is not None:
@@ -102,22 +109,56 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
         start_epoch = (meta or {}).get("epoch", -1) + 1
         log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
+    def _local_loss(params, bstats, _alphas, blocks, seed_pos, labels, mask, dkey):
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": bstats}, blocks, True,
+            mutable=["batch_stats"], rngs={"dropout": dkey},
+        )
+        return nc_loss(logits[seed_pos], labels, mask), mut["batch_stats"]
+
+    if mesh is None:
+        def loss_of(params, bstats, blocks, seed_pos, labels, mask, dkey):
+            return _local_loss(params, bstats, None, blocks, seed_pos, labels, mask, dkey)
+    else:
+        from mr_gnas_tpu.dist.spmd import make_spmd_loss_nc
+
+        _spmd = make_spmd_loss_nc(mesh, _local_loss)
+
+        def loss_of(params, bstats, blocks, seed_pos, labels, mask, dkey):
+            return _spmd(params, bstats, None, blocks, seed_pos, labels, mask, dkey)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, blocks, seed_pos, labels, mask, dkey):
         def loss_fn(p):
-            logits, mut = model.apply(
-                {"params": p, "batch_stats": bstats}, blocks, True,
-                mutable=["batch_stats"], rngs={"dropout": dkey},
-            )
-            return nc_loss(logits[seed_pos], labels, mask), mut["batch_stats"]
+            return loss_of(p, bstats, blocks, seed_pos, labels, mask, dkey)
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
-    @jax.jit
-    def eval_logits(params, bstats, blocks):
+    def _apply_logits(params, bstats, blocks):
         return model.apply({"params": params, "batch_stats": bstats}, blocks, False)
+
+    if mesh is None:
+        eval_logits = jax.jit(_apply_logits)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from mr_gnas_tpu.dist.spmd import local_view
+
+        @jax.jit
+        def eval_logits(params, bstats, blocks):
+            bspec = jax.tree.map(lambda _: P("data"), blocks)
+
+            def f(params, bstats, bstack):
+                out = _apply_logits(params, bstats, local_view(bstack))
+                # all-gathered logits are identical on every device;
+                # pmean makes that provable to the vma check
+                return jax.lax.pmean(out, "data")
+
+            return jax.shard_map(
+                f, mesh=mesh, in_specs=(P(), P(), bspec), out_specs=P()
+            )(params, bstats, blocks)
 
     def evaluate(idx):
         """(micro accuracy, macro accuracy over classes)."""

@@ -279,6 +279,90 @@ def test_spmd_retrain_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=3e-5)
 
 
+@pytest.mark.slow
+def test_spmd_nc_retrain_step_matches_single_device():
+    """NC compiled-genotype path under SPMD blocks
+    (dist/spmd.build_local_blocks): loss / BN stats match single-device
+    tightly; grads match up to (a) near-zero bias directions (BN right
+    after each OpModule linear makes the loss ~bias-invariant — pure
+    noise) and (b) the cross-device max-tie convention on duplicate
+    block edges (dist/spmd.py docstring)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mr_gnas_tpu.cells.genotype import parse_reference_genotypes
+    from mr_gnas_tpu.data import CSRGraph, build_blocks
+    from mr_gnas_tpu.data.rdf import synthetic_nc
+    from mr_gnas_tpu.dist.spmd import (
+        build_local_blocks,
+        make_spmd_loss_nc,
+        shard_local_tree,
+    )
+    from mr_gnas_tpu.models import NCNetwork, nc_loss
+
+    ds = synthetic_nc()
+    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    seeds = ds.target_ids[:16]
+    blocks, sp = build_blocks(csr, seeds, 2)
+    geno = parse_reference_genotypes(
+        "[Genotype(alpha_cell=[('pre_sub', 1, 0), ('f_sparse', 2, 1), "
+        "('f_dense', 3, 2), ('a_max', 4, 2), ('a_mean', 5, 3), "
+        "('f_sparse_last', 6, 5), ('f_identity', 7, 4)], "
+        "concat_node=[4, 5, 6, 7], score_func=None)]"
+    )
+    model = NCNetwork(
+        genotypes=tuple(geno * 2), num_nodes=ds.num_nodes,
+        num_classes=ds.num_classes, num_rels=ds.num_rels,
+        feature_dim=16, init_fea_dim=8, num_base_r=4, dropout=0.0,
+    )
+    variables = model.init(jax.random.key(0), blocks, False)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    labels = jnp.asarray(ds.labels[:16])
+    mask = jnp.ones((16,))
+    spj = jnp.asarray(sp)
+    key = jax.random.key(3)
+
+    def local_loss(p, bs, _a, blks, sp_, lab, m, dk):
+        logits, mut = model.apply(
+            {"params": p, "batch_stats": bs}, blks, True,
+            mutable=["batch_stats"], rngs={"dropout": dk},
+        )
+        return nc_loss(logits[sp_], lab, m), mut["batch_stats"]
+
+    (l1, bs1), g1 = jax.jit(
+        jax.value_and_grad(
+            lambda p: local_loss(p, bstats, None, blocks, spj, labels, mask, key),
+            has_aux=True,
+        )
+    )(params)
+
+    mesh = make_mesh((8,), ("data",))
+    bstack = shard_local_tree(build_local_blocks(blocks, 8), mesh)
+    sl = make_spmd_loss_nc(mesh, local_loss)
+    p_rep, bs_rep = replicate((params, bstats), mesh)
+    (l8, bs8), g8 = jax.jit(
+        jax.value_and_grad(
+            lambda p: sl(p, bs_rep, None, bstack, spj, labels, mask, key),
+            has_aux=True,
+        )
+    )(p_rep)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g8),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if "bias" in str(k):
+            # near-zero direction (see docstring): absolute tolerance
+            np.testing.assert_allclose(a, b, atol=1e-4)
+        else:
+            # max-tie convention on duplicate edges bounds this at ~1e-2
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
+            assert rel < 2e-2, (jax.tree_util.keystr(k), rel)
+
+
 def test_local_batch_divisibility_error():
     kg, batch = _batch(grouped=True)
     batch = dataclasses.replace(batch, triplets=batch.triplets[:30])
