@@ -273,11 +273,15 @@ class FusedSupernetCellLP(nn.Module):
     def _call_mega(self, graph: RelGraph, src_emb, hr, weights, training: bool):
         """Training forward through kernels/bn_mix.py — numerically the
         same function as the slab path (stats/normalize in f32; parity
-        tested in tests/test_bn_mix.py)."""
+        tested in tests/test_bn_mix.py). Sharded-local graphs: the
+        kernel's stat sums psum over ``axis`` (bn_mix's axis arg) and
+        the row counts below are global, so the sharded megakernel ==
+        the single-device one."""
         import jax as _jax
 
         from mr_gnas_tpu.kernels.bn_mix import bn_mix
 
+        axis = graph.spmd_axis
         spec, d = self.spec, self.feature_dim
         p1, p2 = spec.n_first_edges, spec.n_last_edges
         m_nodes = spec.first_nodes
@@ -294,8 +298,13 @@ class FusedSupernetCellLP(nn.Module):
 
         rmask2 = graph.row_mask[:, None].astype(jnp.float32)
         nmask2 = graph.node_mask[:, None].astype(jnp.float32)
-        rcnt = jnp.maximum(jnp.sum(graph.row_mask), 1.0)
-        ncnt = jnp.maximum(jnp.sum(graph.node_mask), 1.0)
+        rcnt = jnp.sum(graph.row_mask)
+        ncnt = jnp.sum(graph.node_mask)
+        if axis is not None:
+            rcnt = jax.lax.psum(rcnt, axis)
+            ncnt = jax.lax.psum(ncnt, axis)
+        rcnt = jnp.maximum(rcnt, 1.0)
+        ncnt = jnp.maximum(ncnt, 1.0)
 
         # section scale vectors ([fwd|inv] edge rows carry norm/3; the
         # self section carries 1/3 for the gated ops and 1 for f_comp —
@@ -310,7 +319,7 @@ class FusedSupernetCellLP(nn.Module):
         scale_z, bias_z = bn_zero[0], bn_zero[1]
         w_z = weights["zero"][:1].astype(jnp.float32)
         h_in, mean, var = bn_mix(
-            "zero", interp, cdt, (src_emb, hr), None,
+            "zero", interp, cdt, axis, (src_emb, hr), None,
             scale_z.reshape(3, d), bias_z.reshape(3, d), w_z, rmask2, rcnt,
         )
         self._mega_update_stats(
@@ -384,7 +393,7 @@ class FusedSupernetCellLP(nn.Module):
             pairs = jnp.stack(states)
             zd, zc, u = level_precursors(pairs, sl)
             out, mean, var = bn_mix(
-                "first", interp, cdt,
+                "first", interp, cdt, axis,
                 (pairs, pairs * s_ds, zd, zc * s_c), u,
                 scale_f[sl, 1:].reshape(p_i * 4, d),
                 bias_f[sl, 1:].reshape(p_i * 4, d),
@@ -427,7 +436,7 @@ class FusedSupernetCellLP(nn.Module):
         node_states = []
         for m in range(m_nodes):
             out_m, mean, var = bn_mix(
-                "pre", interp, cdt,
+                "pre", interp, cdt, axis,
                 (agg_max[m].astype(cdt), agg_sum[m].astype(cdt), agg_mean[m].astype(cdt)),
                 None,
                 scale_m[m], bias_m[m],
@@ -467,7 +476,7 @@ class FusedSupernetCellLP(nn.Module):
                 "pd,pdo->po", b_last[sl][:, 1], a_last[sl]
             ).astype(cdt)[:, None, :]
             out, mean, var = bn_mix(
-                "last", interp, cdt, (pairs, zd), u,
+                "last", interp, cdt, axis, (pairs, zd), u,
                 scale_l[sl, 1:].reshape(p_i * 3, d),
                 bias_l[sl, 1:].reshape(p_i * 3, d),
                 weights["last"][sl][:, 1:].astype(jnp.float32),
@@ -490,12 +499,16 @@ class FusedSupernetCellLP(nn.Module):
 
     @nn.compact
     def __call__(self, graph: RelGraph, src_emb, hr, weights, training: bool):
-        # the BN-mix megakernel computes batch statistics and applies them
-        # in ONE fused pass — incompatible with the cross-device stat psum
-        # the sharded-local view needs, so spmd graphs take the slab path
-        # (whose middle stage still runs the fused-agg Pallas kernel on
-        # each edge shard when a per-shard CSR is attached)
-        if self.megakernel and training and graph.spmd_axis is None:
+        use_mega = self.megakernel and training
+        if use_mega and graph.spmd_axis is not None:
+            # the megakernel's stat/apply boundary hosts the cross-shard
+            # psum (bn_mix's axis arg), so it runs under the mesh too —
+            # except in interpret mode, which cannot trace inside
+            # shard_map (CPU meshes fall back to the slab path)
+            from mr_gnas_tpu.kernels.common import pallas_interpret_default
+
+            use_mega = not pallas_interpret_default()
+        if use_mega:
             return self._call_mega(graph, src_emb, hr, weights, training)
         spec, d = self.spec, self.feature_dim
         assert spec.task == "lp"

@@ -347,12 +347,12 @@ def bn_mix_stats(stage, slabs, u, mask, interpret=False, rb=None):
         else:
             _stats_kernel(*refs, stage=stage, p=p, k=k)
 
+    from mr_gnas_tpu.kernels.common import out_struct
+
+    shp = out_struct((p * k, d), jnp.float32, *inputs)
     sums, sumsq = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((p * k, d), jnp.float32),
-            jax.ShapeDtypeStruct((p * k, d), jnp.float32),
-        ),
+        out_shape=(shp, shp),
         grid=(r_pad // rb,),
         in_specs=in_specs,
         out_specs=(_full_spec((p * k, d)), _full_spec((p * k, d))),
@@ -385,9 +385,11 @@ def bn_mix_apply(stage, slabs, u, a, b, w, out_dtype, interpret=False, rb=None):
         else:
             _apply_kernel(*refs, stage=stage, p=p, k=k)
 
+    from mr_gnas_tpu.kernels.common import out_struct
+
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((r_pad, d), out_dtype),
+        out_shape=out_struct((r_pad, d), out_dtype, *inputs),
         grid=(r_pad // rb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((rb, d), lambda i: (i, 0)),
@@ -427,7 +429,9 @@ def bn_mix_bwd_reduce(stage, slabs, u, g, a, b, mu, inv, w, interpret=False, rb=
         else:
             _bwd_reduce_kernel(*refs, stage=stage, p=p, k=k)
 
-    shp = jax.ShapeDtypeStruct((p * k, d), jnp.float32)
+    from mr_gnas_tpu.kernels.common import out_struct
+
+    shp = out_struct((p * k, d), jnp.float32, *inputs)
     s1, s2, rs = pl.pallas_call(
         kernel,
         out_shape=(shp, shp, shp),
@@ -471,12 +475,14 @@ def bn_mix_bwd_apply(
 
     # cotangent outputs: every slab + u (when present); dzc for 'first'
     # uses slab dtype; du uses u dtype
+    from mr_gnas_tpu.kernels.common import out_struct
+
     out_shapes = [
-        jax.ShapeDtypeStruct(x.shape, x.dtype) for x in slabs_p
+        out_struct(x.shape, x.dtype, *inputs) for x in slabs_p
     ]
     out_specs = [_slab_spec(stage, x.shape, rb) for x in slabs_p]
     if u is not None:
-        out_shapes.append(jax.ShapeDtypeStruct(u_p.shape, u_p.dtype))
+        out_shapes.append(out_struct(u_p.shape, u_p.dtype, *inputs))
         out_specs.append(_col_spec(stage, u_p.shape, rb))
 
     def kernel(*refs):
@@ -528,18 +534,29 @@ def _zero_cot(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def bn_mix(stage, interpret, out_dtype, slabs, u, gamma, beta, w, mask, cnt):
+def _psum_if(x, axis):
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def bn_mix(stage, interpret, out_dtype, axis, slabs, u, gamma, beta, w, mask, cnt):
     """Training-mode BN-mix over a stage's candidate ops.
 
     Args:
       stage: 'zero' | 'first' | 'last' | 'pre' (static).
+      axis: mesh axis name when the rows are sharded (dist/spmd.py, None
+        otherwise): the per-shard stat sums (fwd) and the BN-backward
+        S1/S2/dw reductions psum over it, so the sharded megakernel
+        computes the exact single-device batch norm and its exact
+        gradient. ``cnt`` must then be the GLOBAL masked row count and
+        the returned gamma/beta/w cotangents come out psum'd (invariant),
+        as the vma checker requires for replicated params.
       slabs: tuple of op-precursor tensors (see module docstring).
       u: [p, R, 1] sparse-gate pre-activation or None.
       gamma/beta: [pK, D] BN affine (the (pair, op)-stacked slices).
       w: [p, K] softmaxed alpha weights.
       mask: [R, 1] f32 row mask (stats rows).
-      cnt: [] f32 masked row count (>= 1).
+      cnt: [] f32 masked row count (>= 1; global under ``axis``).
 
     Returns (out [R, D] (out_dtype), mean [pK, D] f32, var_biased [pK, D] f32).
     The mean/var outputs feed the running-stat side channel and are
@@ -547,6 +564,7 @@ def bn_mix(stage, interpret, out_dtype, slabs, u, gamma, beta, w, mask, cnt):
     batch_stats are non-differentiable state).
     """
     sums, sumsq = bn_mix_stats(stage, slabs, u, mask, interpret)
+    sums, sumsq = _psum_if(sums, axis), _psum_if(sumsq, axis)
     mean = sums / cnt
     var = jnp.maximum(sumsq / cnt - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + _EPS)
@@ -556,8 +574,9 @@ def bn_mix(stage, interpret, out_dtype, slabs, u, gamma, beta, w, mask, cnt):
     return out, mean, var
 
 
-def _bn_mix_fwd(stage, interpret, out_dtype, slabs, u, gamma, beta, w, mask, cnt):
+def _bn_mix_fwd(stage, interpret, out_dtype, axis, slabs, u, gamma, beta, w, mask, cnt):
     sums, sumsq = bn_mix_stats(stage, slabs, u, mask, interpret)
+    sums, sumsq = _psum_if(sums, axis), _psum_if(sumsq, axis)
     mean = sums / cnt
     var = jnp.maximum(sumsq / cnt - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + _EPS)
@@ -567,16 +586,19 @@ def _bn_mix_fwd(stage, interpret, out_dtype, slabs, u, gamma, beta, w, mask, cnt
     return (out, mean, var), (slabs, u, gamma, a, b, mean, inv, w, mask, cnt)
 
 
-def _bn_mix_bwd(stage, interpret, out_dtype, res, cots):
+def _bn_mix_bwd(stage, interpret, out_dtype, axis, res, cots):
     g, _g_mean, _g_var = cots  # stat cotangents ignored (side channel)
     slabs, u, gamma, a, b, mean, inv, w, mask, cnt = res
     s1, s2, rs = bn_mix_bwd_reduce(
         stage, slabs, u, g, a, b, mean, inv, w, interpret
     )
+    # global BN-backward reductions; the explicit psums also make the
+    # replicated-param cotangents provably invariant under shard_map
+    s1, s2 = _psum_if(s1, axis), _psum_if(s2, axis)
     p, k = w.shape
     dgamma = s2
     dbeta = s1
-    dw = jnp.sum(rs.reshape(p, k, -1), axis=-1)
+    dw = _psum_if(jnp.sum(rs.reshape(p, k, -1), axis=-1), axis)
     gi = gamma * inv
     dslabs, du = bn_mix_bwd_apply(
         stage, slabs, u, g, a, b, mean, inv, gi, w, s1 / cnt, s2 / cnt, mask,

@@ -137,8 +137,12 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         dropout_cell=cfg.dropout_cell,
         drop_aggr=cfg.drop_aggr,
         compute_dtype=_jnp.bfloat16 if use_bf16 else _jnp.float32,
+        # auto: ON for TPU, with or without a mesh — bn_mix's stat/apply
+        # boundary hosts the cross-shard psum (kernels/bn_mix.py axis
+        # arg); the cell itself falls back to the slab path in interpret
+        # mode under a mesh (CPU), where Pallas cannot trace in shard_map
         megakernel=(
-            jax.default_backend() == "tpu" and mesh is None
+            jax.default_backend() == "tpu"
             if cfg.megakernel < 0
             else bool(cfg.megakernel)
         ),

@@ -43,6 +43,16 @@ def main():
     from mr_gnas_tpu.models import LPSupernet
     from mr_gnas_tpu.models.lp import lp_search_loss_grouped
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--megakernel", action="store_true",
+        help="also check the BN-mix megakernel path under the mesh "
+        "(bn_mix axis psums) against the plain megakernel step",
+    )
+    cli = ap.parse_args()
+
     kg = synthetic_kg(num_ent=512, num_rels=16, n_train=4096, seed=0)
     adj, deg = get_adj_and_degrees(kg.num_ent, kg.train)
     batch = generate_sampled_graph_and_labels(
@@ -53,7 +63,7 @@ def main():
     model = LPSupernet(
         num_ent=kg.num_ent, num_rels=kg.num_rels, layers=2, spec=spec,
         feature_dim=128, init_fea_dim=64, num_base_r=16,
-        dropout_cell=0.0, drop_aggr=0.0,
+        dropout_cell=0.0, drop_aggr=0.0, megakernel=cli.megakernel,
     )
     alphas = init_alphas(jax.random.key(0), spec, 2, with_final=True)
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)

@@ -81,7 +81,7 @@ def test_stage_fwd_bwd_vs_slab(rng, stage, p, r):
         out, mean, var = fn(slabs, u, gamma, beta, w)
         return jnp.sum(out * g_out), (out, mean, var)
 
-    new_fn = lambda *a: bn_mix(stage, True, jnp.float32, *a, mask, cnt)
+    new_fn = lambda *a: bn_mix(stage, True, jnp.float32, None, *a, mask, cnt)
     ref_fn = lambda *a: _ref_bn_mix(stage, *a, mask, cnt)
     (ln, auxn), gn = jax.value_and_grad(
         lambda *a: loss(new_fn, *a), argnums=(0, 1, 2, 3, 4), has_aux=True
