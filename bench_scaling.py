@@ -37,6 +37,10 @@ def main():
         help="per-shard blocked-CSR Pallas aggregation (TPU only)",
     )
     ap.add_argument(
+        "--megakernel", action="store_true",
+        help="BN-mix megakernel in the supernet cells (TPU only)",
+    )
+    ap.add_argument(
         "--spmd-at-1", action="store_true",
         help="run the manual-SPMD (shard_map) path even on 1 device — "
         "measures the sharded program's overhead vs the plain path on a "
@@ -90,7 +94,7 @@ def main():
     model = LPSupernet(
         num_ent=kg.num_ent, num_rels=kg.num_rels, layers=2, spec=spec,
         feature_dim=args.feature_dim, init_fea_dim=32, num_base_r=32,
-        dropout_cell=0.0, drop_aggr=0.0,
+        dropout_cell=0.0, drop_aggr=0.0, megakernel=args.megakernel,
     )
     alphas = init_alphas(jax.random.key(0), spec, 2, with_final=True)
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)

@@ -512,3 +512,28 @@ def test_nc_search_driver_mesh(tmp_path):
     )
     out = run_nc_search(cfg)
     assert len(out["genotypes"]) == 1
+
+
+def test_lp_search_driver_mesh_unrolled(tmp_path):
+    """The 2nd-order architect composes with the SPMD mesh: the unrolled
+    weight step and fd-HVP differentiate THROUGH the shard_map'd loss."""
+    cfg = LPSearchConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=32,
+        graph_batch_size_val=16,
+        negative_sample=2,
+        warm_epochs=1,
+        epochs=3,
+        layers=1,
+        mesh_shape=(8,),
+        unrolled=True,
+        hvp_mode="fd",
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+    )
+    out = run_lp_search(cfg)
+    assert np.isfinite(out["last_loss"])
