@@ -20,8 +20,11 @@ fusion:
   * the alpha-weighted op mixture + the DAG-node summation collapse into
     one einsum contraction.
 
-Only the LP task is fused here (the flagship search workload); NC uses
-the naive cell.
+Both task families are fused (:class:`FusedSupernetCellLP` and
+:class:`FusedSupernetCellNC`); the naive per-module cell remains as the
+parity oracle. Under sharded-local graphs (dist/spmd.py) the cells psum
+their batch-norm statistics and merge middle-stage aggregation partials
+across the mesh axis.
 """
 from __future__ import annotations
 

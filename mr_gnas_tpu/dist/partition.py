@@ -1,19 +1,22 @@
-"""Edge-partitioned aggregation and sharded training steps.
+"""Edge-partitioned aggregation primitives (library layer).
 
-Two complementary paths:
+The PRODUCTION sharded path is the manual-SPMD formulation in
+:mod:`mr_gnas_tpu.dist.spmd` (per-device local graphs, reduce-scatter /
+all-to-all merges, one all-gather per layer) — it is what every driver
+uses under ``--mesh-shape``. This module keeps the two earlier
+formulations as library pieces and numerical cross-checks:
 
-1. **Annotation path (default)** — commit inputs with
+1. **Annotation path** — commit inputs with
    :func:`mr_gnas_tpu.dist.mesh.shard_graph` / ``replicate`` and jit the
-   ordinary train step; XLA's SPMD partitioner turns the per-shard
-   segment reductions into local reduce + cross-shard merge collectives.
-   This is the pjit recipe: pick a mesh, annotate shardings, let XLA
-   insert collectives.
+   ordinary train step; XLA's SPMD partitioner inserts the collectives
+   (the pjit recipe). Simple and correct, but its middle-stage merges
+   all-reduce full replicated [N, D] tensors.
 
-2. **Explicit shard_map path** — the manual formulation of the same
-   computation (each device segment-reduces its edge shard into a full
-   [N, D] partial, then ``psum``/``pmax`` over the data axis). Used to
-   validate the annotation path numerically and as the substrate for
-   future Pallas remote-DMA overlap.
+2. **Explicit shard_map reducers** — per-device full-[N, D] partials
+   merged with ``psum``/``pmax``, the ring-overlap variant
+   (:func:`ring_segment_sum_overlapped`), and the column-sharded
+   filtered ranker (:func:`sharded_scores_rank`, the TP-analog piece for
+   entity tables too large to replicate).
 
 Correctness notes (SURVEY.md §7 hard-part 5): sum/mean/max are all
 associative over edge shards; mean is computed as (psum of sums) /
