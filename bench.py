@@ -39,6 +39,7 @@ def make_step(
     csr_grads: bool = False,
     grouped_neg: bool = False,
     neg_chunk: int = 0,
+    spmd: bool = False,
 ):
     """Build the benchmark train step. Returns (train_step, state, inputs)
     where state = (params, bstats, opt_state) and
@@ -68,7 +69,7 @@ def make_step(
         "uniform", rng, n_nodes_pad=n_nodes_pad, grouped=grouped_neg,
         neg_chunk=neg_chunk,
     )
-    if pallas_agg:
+    if pallas_agg and not spmd:
         import dataclasses
 
         from mr_gnas_tpu.graph.build import attach_csr
@@ -117,53 +118,78 @@ def make_step(
     variables = model.init(jax.random.key(1), batch.graph, alphas, False)
     params, bstats = variables["params"], variables["batch_stats"]
     tx = optax.sgd(1e-3, momentum=0.9)
-    opt_state = tx.init(params)
+    graph = batch.graph
     trip = jnp.asarray(batch.triplets)
     if grouped_neg:
-        from mr_gnas_tpu.models import lp_search_loss_grouped
-
         lab = (jnp.asarray(batch.neg_heads), jnp.asarray(batch.neg_tails))
     else:
         lab = jnp.asarray(batch.labels)
+
+    # bf16 triplet path: the (s,o) gather, DistMult products, and the
+    # grad scatter-add into the entity table run at half bytes (together
+    # ~22% of the profiled step); reductions accumulate f32
+    ldt = jnp.bfloat16 if bf16 else None
+
+    def local_loss_fn(p, bs, a, g, t, l, dkey, training=True):
+        (ent, rel), mut = model.apply(
+            {"params": p, "batch_stats": bs}, g, a, training,
+            mutable=["batch_stats"], rngs={"dropout": dkey},
+        )
+        if grouped_neg:
+            nh, nt = l
+            if neg_chunk > 0:
+                from mr_gnas_tpu.models.lp import lp_search_loss_chunked
+
+                return (
+                    lp_search_loss_chunked(ent, rel, t, nh, nt, dtype=ldt),
+                    mut["batch_stats"],
+                )
+            from mr_gnas_tpu.models import lp_search_loss_grouped
+
+            return (
+                lp_search_loss_grouped(
+                    ent, rel, t, nh, nt, dtype=ldt,
+                    so_csr=so_csr, neg_csr=neg_csr,
+                ),
+                mut["batch_stats"],
+            )
+        return lp_search_loss(ent, rel, t, l, so_csr, dtype=ldt), mut["batch_stats"]
+
+    if spmd:
+        # the lp-search driver's --mesh-shape composition at one device
+        # (train/lp_search.py:107-110,231-239): manual-SPMD local batch +
+        # shard_map'd loss on a 1-device 'data' mesh — collectives are
+        # no-ops, but the sharded-local program measured FASTER than the
+        # plain one on a single chip at the 32k config (906k vs 854k,
+        # NOTES.md "single-chip SPMD overhead"); --spmd probes it at the
+        # headline config
+        from mr_gnas_tpu.dist import make_mesh, replicate
+        from mr_gnas_tpu.dist.spmd import build_local_batch, make_spmd_loss
+
+        mesh = make_mesh((1,), ("data",))
+        lb = build_local_batch(batch, mesh, pallas_csr=pallas_agg)
+        graph = lb.graph
+        trip = lb.triplets
+        lab = (lb.neg_heads, lb.neg_tails) if grouped_neg else lb.labels
+        params, bstats, alphas = replicate((params, bstats, alphas), mesh)
+        loss_fn = make_spmd_loss(mesh, local_loss_fn)
+    else:
+        loss_fn = local_loss_fn
+    opt_state = tx.init(params)
 
     # donate params/bstats/opt_state: the optimizer writes fresh buffers
     # anyway, and donation lets XLA update in place instead of copying
     # (the profiled step spends ~16% in copies, NOTES.md roofline)
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, graph, trip, lab, key):
-        def loss_fn(p):
-            (ent, rel), mut = model.apply(
-                {"params": p, "batch_stats": bstats}, graph, alphas, True,
-                mutable=["batch_stats"], rngs={"dropout": key},
-            )
-            # bf16 triplet path: the (s,o) gather, DistMult products, and
-            # the grad scatter-add into the entity table run at half
-            # bytes (together ~22% of the profiled step); reductions
-            # accumulate f32
-            ldt = jnp.bfloat16 if bf16 else None
-            if grouped_neg:
-                nh, nt = lab
-                if neg_chunk > 0:
-                    from mr_gnas_tpu.models.lp import lp_search_loss_chunked
+        def wloss(p):
+            return loss_fn(p, bstats, alphas, graph, trip, lab, key)
 
-                    return (
-                        lp_search_loss_chunked(ent, rel, trip, nh, nt, dtype=ldt),
-                        mut["batch_stats"],
-                    )
-                return (
-                    lp_search_loss_grouped(
-                        ent, rel, trip, nh, nt, dtype=ldt,
-                        so_csr=so_csr, neg_csr=neg_csr,
-                    ),
-                    mut["batch_stats"],
-                )
-            return lp_search_loss(ent, rel, trip, lab, so_csr, dtype=ldt), mut["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, new_bs), grads = jax.value_and_grad(wloss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
-    return train_step, (params, bstats, opt_state), (batch.graph, trip, lab)
+    return train_step, (params, bstats, opt_state), (graph, trip, lab)
 
 
 def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", **kw) -> dict:
@@ -447,6 +473,16 @@ def main():
         "--no-nc", action="store_true",
         help="skip the NC sub-benchmark in the default lp run",
     )
+    ap.add_argument(
+        "--spmd", action="store_true",
+        help="run the headline config through the driver's manual-SPMD "
+        "(shard_map) path on a 1-device mesh instead of the plain program",
+    )
+    ap.add_argument(
+        "--headline-only", action="store_true",
+        help="measure only the headline config (no NC, no fixed-workload "
+        "re-measurement) — for probing config variants one per process",
+    )
     args = ap.parse_args()
     _enable_compile_cache()
     if args.task == "nc":
@@ -503,7 +539,7 @@ def main():
     # NOTES.md round-2 measurement note), and the axon TPU tunnel is
     # single-tenant — the child must finish before the parent grabs it
     nc_result = None
-    if not args.no_nc:
+    if not args.no_nc and not args.headline_only:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--task", "nc"],
@@ -523,16 +559,17 @@ def main():
 
     out = run_bench(
         bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
-        megakernel=True, neg_chunk=1024,
+        megakernel=True, neg_chunk=1024, spmd=args.spmd,
     )
-    # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted by
-    # tunnel launch latency (measured 147k vs 276k on back-to-back runs)
-    fixed = run_bench(bf16=False, graph_batch=4096, steps=50)
-    out["fixed_workload"] = {
-        "edges_per_sec": round(fixed["edges_per_sec"], 1),
-        "step_ms": round(fixed["step_ms"], 3),
-        "config": "f32, graph_batch 4096 (round-1 headline config)",
-    }
+    if not args.headline_only:
+        # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted
+        # by tunnel launch latency (measured 147k vs 276k back-to-back)
+        fixed = run_bench(bf16=False, graph_batch=4096, steps=50)
+        out["fixed_workload"] = {
+            "edges_per_sec": round(fixed["edges_per_sec"], 1),
+            "step_ms": round(fixed["step_ms"], 3),
+            "config": "f32, graph_batch 4096 (round-1 headline config)",
+        }
     if nc_result is not None:
         out["nc"] = nc_result
 
