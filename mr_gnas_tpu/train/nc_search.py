@@ -293,5 +293,6 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
     return {
         "genotypes": genotypes,
         "run_dir": run_dir,
+        "last_loss": float(loss),
         "edges_per_sec": thr.edges_per_sec,
     }

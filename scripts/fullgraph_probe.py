@@ -1,0 +1,94 @@
+"""Probe trace/compile/run cost of the full-graph LP retrain step.
+
+The reference recomputes the FULL training graph per minibatch
+(/root/reference/models/model_lp.py:123-137 — 272k triples = 544k edge
+rows at FB15k-237 scale). Earlier rounds never got this program through
+the axon tunnel's remote-compile budget (NOTES.md); this probe separates
+the stages so the attack lands on the right one:
+
+    python scripts/fullgraph_probe.py --max-edges 0     # full graph
+    python scripts/fullgraph_probe.py --max-edges 131072
+
+Prints per-stage wall-clock: graph build, model init, jit trace
+(.lower()), XLA compile (.compile()), first run, amortized step.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-edges", type=int, default=0, help="0 = full graph")
+    ap.add_argument("--score-func", default="sf_ConvE")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--scan-cells", type=int, default=-1,
+                    help="-1 auto, 0 off, 1 on (lax.scan over layers)")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.no_cache:
+        from bench import _enable_compile_cache
+
+        _enable_compile_cache()
+
+    from bench import make_step_lptrain
+
+    t0 = time.perf_counter()
+    kw = {}
+    if args.scan_cells >= 0:
+        kw["scan_cells"] = bool(args.scan_cells)
+    train_step, (params, bstats, opt_state), inputs = make_step_lptrain(
+        score_func=args.score_func, max_train_edges=args.max_edges, **kw
+    )
+    graph = inputs[0]
+    t1 = time.perf_counter()
+    print(f"build+init: {t1 - t0:.1f}s  (rows/layer = "
+          f"{int(graph.src.shape[0])}, nodes = {graph.n_nodes})", flush=True)
+
+    key = jax.random.key(2)
+    lowered = train_step.lower(params, bstats, opt_state, *inputs, key)
+    t2 = time.perf_counter()
+    print(f"trace (.lower): {t2 - t1:.1f}s", flush=True)
+
+    compiled = lowered.compile()
+    t3 = time.perf_counter()
+    print(f"compile: {t3 - t2:.1f}s", flush=True)
+    try:
+        mem = compiled.memory_analysis()
+        print(f"memory: argument {mem.argument_size_in_bytes/2**30:.2f}GiB "
+              f"output {mem.output_size_in_bytes/2**30:.2f}GiB "
+              f"temp {mem.temp_size_in_bytes/2**30:.2f}GiB", flush=True)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"memory analysis unavailable: {e}", flush=True)
+
+    params, bstats, opt_state, loss = compiled(
+        params, bstats, opt_state, *inputs, key
+    )
+    loss.block_until_ready()
+    t4 = time.perf_counter()
+    print(f"first run: {t4 - t3:.1f}s  loss={float(loss):.5f}", flush=True)
+
+    t5 = time.perf_counter()
+    for _ in range(args.steps):
+        key, k = jax.random.split(key)
+        params, bstats, opt_state, loss = compiled(
+            params, bstats, opt_state, *inputs, k
+        )
+    loss.block_until_ready()
+    dt = time.perf_counter() - t5
+    n_edges = int(__import__("numpy").asarray(graph.edge_mask).sum())
+    print(f"step: {1e3 * dt / args.steps:.2f} ms  "
+          f"edges/s = {n_edges * args.steps / dt:,.0f}  loss={float(loss):.5f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

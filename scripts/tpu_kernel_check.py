@@ -165,21 +165,7 @@ def check_megakernel_step() -> None:
 
         return step
 
-    l0, bs0, g0 = make_step(False)(params)
     l1, bs1, g1 = make_step(True)(params)
-    # Compiled-on-TPU tolerance contract: on TPU, f32 matmuls run at
-    # reduced MXU mantissa and XLA reassociates the slab reductions
-    # differently across compiler releases, so the two schedules each
-    # carry ~1e-3-scale rounding vs the exact result. Measured control
-    # (this machine): on CPU both paths agree to ~1e-6, and the TPU
-    # loss values STRADDLE the CPU truth (slab 3.94179 / cpu 3.94281 /
-    # mega 3.94338) — mutual rounding, with the mega path often the
-    # closer one. Wiring bugs (stale pipeline buffers, wrong stats)
-    # show up orders of magnitude larger or as NaN, so the compiled
-    # check asserts per-leaf relative-L2 error; the tight elementwise
-    # wiring-parity contract lives in the interpret-mode CI
-    # (tests/test_bn_mix.py), which is compiler-stable.
-    np.testing.assert_allclose(l0, l1, rtol=1e-3)
 
     def _rel_l2(tree0, tree1, tol, what):
         leaves0 = sorted(
@@ -201,23 +187,22 @@ def check_megakernel_step() -> None:
             )
             # aggregate rel-L2 can hide a localized wiring bug confined to
             # a small slice of a large tensor: also cap the worst element
+            # at 10x the rel-L2 bound (scales with the contract tightness)
+            cap = 10.0 * tol
             max_err = float(jnp.max(jnp.abs(v0 - v1)))
             max_ref = max(float(jnp.max(jnp.abs(v1))), 1e-6)
-            assert max_err < 0.1 * max_ref, (
+            assert max_err < cap * max_ref, (
                 f"{what}{jax.tree_util.keystr(k0)}: max elem err {max_err:.2e} "
-                f">= 0.1 * max |ref| {max_ref:.2e}"
+                f">= {cap:g} * max |ref| {max_ref:.2e}"
             )
 
-    _rel_l2(bs0, bs1, 5e-3, "batch_stats")
-    _rel_l2(g0, g1, 2e-2, "grads")
-    print(f"ok megakernel LPSupernet step compiled (loss {float(l0):.5f})")
+    print(f"ok megakernel LPSupernet step compiled (loss {float(l1):.5f})")
 
     # --- same-compile wiring parity (compiler-drift-robust, TIGHT) ---
-    # The slab-vs-mega comparison above bounds two *different* schedules
-    # whose mutual f32 rounding drifts with XLA releases (NOTES.md). The
-    # tight invariant is the SAME mega kernels compiled through Mosaic vs
-    # interpret-lowered to XLA ops, in this session, on these inputs:
-    # any Mosaic lowering / pipeline-buffer bug shows here at 1e-5 scale.
+    # The tight invariant at the model's production precision is the SAME
+    # mega kernels compiled through Mosaic vs interpret-lowered to XLA
+    # ops, in this session, on these inputs: any Mosaic lowering /
+    # pipeline-buffer bug shows here at 1e-5 scale.
     os.environ["MR_GNAS_PALLAS_INTERPRET"] = "1"
     try:
         li, bsi, gi = make_step(True)(params)
@@ -227,6 +212,24 @@ def check_megakernel_step() -> None:
     _rel_l2(bs1, bsi, 1e-4, "batch_stats[mosaic-vs-interpret]")
     _rel_l2(g1, gi, 1e-4, "grads[mosaic-vs-interpret]")
     print("ok megakernel Mosaic-vs-interpret same-compile parity (<=1e-4)")
+
+    # --- cross-schedule contract (slab vs mega), exact-matmul mode ---
+    # At default precision, f32 matmuls run at reduced MXU mantissa and
+    # XLA reassociates the slab reductions differently across compiler
+    # releases, so slab-vs-mega mutual rounding drifts with XLA versions
+    # (the round-2/3 tolerance-fragility item: a guessed 2e-2 bound was
+    # overrun at 2.48e-2). Under jax.default_matmul_precision('highest')
+    # both schedules compute exact f32 matmuls (the Pallas kernels
+    # already pin Precision.HIGHEST internally), leaving only f32 sum
+    # reassociation — bounded at 1e-3 per leaf with margin, two orders
+    # tighter than any wiring bug.
+    with jax.default_matmul_precision("highest"):
+        l0h, bs0h, g0h = make_step(False)(params)
+        l1h, bs1h, g1h = make_step(True)(params)
+    np.testing.assert_allclose(float(l0h), float(l1h), rtol=1e-4)
+    _rel_l2(bs0h, bs1h, 1e-3, "batch_stats[slab-vs-mega@highest]")
+    _rel_l2(g0h, g1h, 1e-3, "grads[slab-vs-mega@highest]")
+    print("ok megakernel-vs-slab cross-schedule parity @highest (<=1e-3)")
 
 
 def check_static_padded_csr() -> None:

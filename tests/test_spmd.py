@@ -283,10 +283,13 @@ def test_spmd_retrain_step_matches_single_device():
 def test_spmd_nc_retrain_step_matches_single_device():
     """NC compiled-genotype path under SPMD blocks
     (dist/spmd.build_local_blocks): loss / BN stats match single-device
-    tightly; grads match up to (a) near-zero bias directions (BN right
-    after each OpModule linear makes the loss ~bias-invariant — pure
-    noise) and (b) the cross-device max-tie convention on duplicate
-    block edges (dist/spmd.py docstring)."""
+    tightly; grads match at the LP path's exact tolerances
+    (rtol=2e-4, atol=3e-5 elementwise — the atol absorbs the near-zero
+    directions: OpModule linear biases and the last cell's bn_out scale
+    have |grad| ~ 1e-7, pure float noise under any reduction order).
+    The fixture dedupes (src, etype, dst) rows so the cross-device
+    max-merge's all-tied-devices cotangent convention (dist/spmd.py
+    docstring) cannot smear a_max gradients vs single-device."""
     from jax.sharding import PartitionSpec as P
 
     from mr_gnas_tpu.cells.genotype import parse_reference_genotypes
@@ -300,7 +303,8 @@ def test_spmd_nc_retrain_step_matches_single_device():
     from mr_gnas_tpu.models import NCNetwork, nc_loss
 
     ds = synthetic_nc()
-    csr = CSRGraph(ds.src, ds.dst, ds.etype, ds.num_nodes)
+    tri = np.unique(np.stack([ds.src, ds.etype, ds.dst], 1), axis=0)
+    csr = CSRGraph(tri[:, 0], tri[:, 2], tri[:, 1], ds.num_nodes)
     seeds = ds.target_ids[:16]
     blocks, sp = build_blocks(csr, seeds, 2)
     geno = parse_reference_genotypes(
@@ -353,14 +357,10 @@ def test_spmd_nc_retrain_step_matches_single_device():
         jax.tree_util.tree_leaves_with_path(g1),
         jax.tree_util.tree_leaves_with_path(g8),
     ):
-        a, b = np.asarray(a), np.asarray(b)
-        if "bias" in str(k):
-            # near-zero direction (see docstring): absolute tolerance
-            np.testing.assert_allclose(a, b, atol=1e-4)
-        else:
-            # max-tie convention on duplicate edges bounds this at ~1e-2
-            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30)
-            assert rel < 2e-2, (jax.tree_util.keystr(k), rel)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=3e-5,
+            err_msg=jax.tree_util.keystr(k),
+        )
 
 
 def test_local_batch_divisibility_error():
