@@ -211,14 +211,16 @@ def run_bench(steps: int = 20, warmup: int = 3, rng_impl: str = "threefry2x32", 
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, batch_graph, trip, lab, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
     t0 = time.perf_counter()
     for i in range(steps):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, batch_graph, trip, lab, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
     dt = time.perf_counter() - t0
     edges_per_sec = n_edges * steps / dt
     return {
@@ -311,14 +313,16 @@ def run_bench_nc(steps: int = 30, warmup: int = 3, **kw) -> dict:
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, blocks, seed_pos, labels, mask, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, blocks, seed_pos, labels, mask, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
     dt = time.perf_counter() - t0
     return {
         "edges_per_sec": n_edges * steps / dt,
@@ -331,21 +335,24 @@ def run_bench_nc(steps: int = 30, warmup: int = 3, **kw) -> dict:
 
 def make_step_lptrain(
     score_func: str = "sf_ConvE", batch_size: int = 256,
-    max_train_edges: int = 131072,
+    max_train_edges: int = 0, dataset: str = "synthetic-fb",
 ):
-    """LP retrain train step at FB15k-237 scale: full-train-graph GNN
-    forward (recomputed per minibatch exactly as the reference does,
-    train/mr_lp_train.py:225-240) + the 1-vs-N decoder + masked
-    BCE-with-logits + backward. ``score_func`` picks the decoder
-    roofline: sf_ConvE (conv + FC + [B, N] matmul — the reference's
-    default retrain head) or sf_DisMult (one [B, N] matmul).
+    """LP retrain train step at exact reference scale: FULL-train-graph
+    GNN forward (272,115 FB15k-237 triples = 558,771 edge+self rows per
+    layer, recomputed per minibatch exactly as the reference does,
+    train/mr_lp_train.py:225-240 / models/model_lp.py:123-137) + the
+    1-vs-N decoder + masked BCE-with-logits + backward. ``score_func``
+    picks the decoder roofline: sf_ConvE (conv + FC + [B, N] matmul —
+    the reference's default retrain head) or sf_DisMult (one [B, N]
+    matmul).
 
-    ``max_train_edges`` subsamples the training graph: the full 272k
-    FB15k-237 graph (544k edge rows/layer) exceeds the axon tunnel's
-    remote-compile budget (the round-2 262k probe, NOTES.md); the
-    131k-edge default keeps the per-minibatch graph forward realistic
-    while the decoder (the measured roofline) runs at exact reference
-    scale (B=256 x 14.5k entities)."""
+    ``max_train_edges`` (0 = no subsampling, the default since round 4:
+    the full-graph program compiles in ~36 s XLA + a one-time device-
+    side finalization through the axon tunnel — the round-2/3
+    'remote-compile budget' blocker is gone) optionally subsamples the
+    training graph for quick probes. ``dataset`` picks the workload
+    shape: synthetic-fb (14.5k entities, 237 rels) or synthetic-wn
+    (40.9k entities, 11 rels — the entity-table-dominated skew)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -355,7 +362,7 @@ def make_step_lptrain(
     from mr_gnas_tpu.graph import build_rel_graph
     from mr_gnas_tpu.models import LPNetwork, bce_logits_loss
 
-    kg = load_dataset("synthetic-fb")
+    kg = load_dataset(dataset)
     train = kg.train
     if max_train_edges and len(train) > max_train_edges:
         train = train[
@@ -413,29 +420,36 @@ def make_step_lptrain(
 def run_bench_lptrain(steps: int = 15, warmup: int = 3, **kw) -> dict:
     import jax
 
+    t_build = time.perf_counter()
     train_step, (params, bstats, opt_state), inputs = make_step_lptrain(**kw)
     graph = inputs[0]
     key = jax.random.key(2)
     n_edges = int(np.asarray(graph.edge_mask).sum())
 
+    t_compile = time.perf_counter()
     for _ in range(warmup):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, *inputs, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
+    compile_s = time.perf_counter() - t_compile  # trace+compile+warmup wall
     t0 = time.perf_counter()
     for _ in range(steps):
         key, k = jax.random.split(key)
         params, bstats, opt_state, loss = train_step(
             params, bstats, opt_state, *inputs, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch: a true barrier through the axon tunnel
+    # (block_until_ready can return before the remote execution finishes)
     dt = time.perf_counter() - t0
     return {
         "edges_per_sec": n_edges * steps / dt,
         "step_ms": 1e3 * dt / steps,
         "n_edges_per_step": n_edges,
+        "build_s": round(t_compile - t_build, 1),
+        "compile_s": round(compile_s, 1),
         "loss": float(loss),
         "device": str(jax.devices()[0]),
     }
@@ -466,8 +480,20 @@ def main():
     ap.add_argument(
         "--task", default="lp", choices=("lp", "nc", "lptrain-conve", "lptrain-dismult"),
         help="lp: headline LP supernet step; nc: NC supernet over 2-hop "
-        "blocks at AIFB-like scale; lptrain-*: the retrain step at "
-        "FB15k-237 scale with the ConvE / DisMult 1-vs-N decoder",
+        "blocks at AIFB-like scale; lptrain-*: the retrain step over the "
+        "FULL training graph at exact reference scale with the ConvE / "
+        "DisMult 1-vs-N decoder",
+    )
+    ap.add_argument(
+        "--lptrain-dataset", default="synthetic-fb",
+        choices=("synthetic-fb", "synthetic-wn"),
+        help="workload shape for lptrain-*: FB15k-237 (14.5k ents, 237 "
+        "rels, 544k edge rows) or WN18RR (40.9k ents, 11 rels — the "
+        "entity-table-dominated skew)",
+    )
+    ap.add_argument(
+        "--max-train-edges", type=int, default=0,
+        help="lptrain-*: subsample the training graph (0 = full graph)",
     )
     ap.add_argument(
         "--no-nc", action="store_true",
@@ -501,7 +527,10 @@ def main():
         return
     if args.task.startswith("lptrain-"):
         sf = "sf_ConvE" if args.task.endswith("conve") else "sf_DisMult"
-        out = run_bench_lptrain(score_func=sf)
+        out = run_bench_lptrain(
+            score_func=sf, dataset=args.lptrain_dataset,
+            max_train_edges=args.max_train_edges,
+        )
         print(
             json.dumps(
                 {

@@ -272,6 +272,17 @@ def load_dataset(name_or_path: str, data_root: str = "data") -> KGDataset:
             num_ent=14541, num_rels=237, n_train=272115,
             n_valid=17535, n_test=20466, seed=0,
         )
+    if name_or_path == "synthetic-wn":
+        # WN18RR-SHAPED synthetic: the published cardinalities
+        # (KNOWN_DATASETS) — the opposite skew to FB15k-237: 11 relations
+        # but a 40.9k-entity table, the config where the 1-vs-N decoder /
+        # entity-table costs dominate and the TP-analog column sharding
+        # earns its keep (reference workload: train/mr_lp_train.py:35-73,
+        # the WN18RR path)
+        return synthetic_kg(
+            num_ent=40943, num_rels=11, n_train=86835,
+            n_valid=3034, n_test=3134, seed=0,
+        )
     if name_or_path == "minikg":
         return minikg()
     if name_or_path == "minikg-small":

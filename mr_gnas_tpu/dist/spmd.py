@@ -351,7 +351,10 @@ def make_spmd_loss(mesh: Mesh, local_loss_fn, axis: str = "data"):
     batch_stats are device-invariant (psum'd stats), and grads of the
     replicated state auto-psum through the shard_map transpose. Mesh axes
     other than ``axis`` (e.g. 'model') see replicated inputs and stay
-    replicated.
+    replicated in the TRAIN step; the 'model' axis is consumed by the
+    TP-analog eval/serving paths (lp_train's column-sharded 1-vs-N
+    decode via ``LPNetwork.logits_cols`` + ``filtered_ranks_cols``, and
+    ``serve.Predictor(mesh=...)``'s row-sharded entity table).
     """
     from jax.sharding import PartitionSpec as P
 

@@ -298,6 +298,32 @@ class LPNetwork(nn.Module):
     def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
         return jax.nn.sigmoid(self.logits(graph, subj, rel, training))
 
+    def logits_cols(
+        self, graph: RelGraph, subj, rel, n_cols: int, col_axis: str,
+        training: bool = False,
+    ):
+        """Column-sharded 1-vs-N decode (TP analog, SURVEY §2.9): logits
+        [B, n_cols] of this device's contiguous entity-column block
+        ``[k*n_cols, (k+1)*n_cols)`` where k = its ``col_axis`` index —
+        the [B, num_ent] score matmul of the reference
+        (model_lp.py:135) with the entity table sharded by rows, so no
+        device ever holds the full score matrix. Every score function
+        scores against the rows of the table it is handed, so the shard
+        is just a dynamic slice of the encoded table. Requires the
+        reference-faithful ConvE head (no per-entity output bias: its
+        [num_ent] parameter is keyed to the full table)."""
+        if (self.score_args or {}).get("conve_out_bias"):
+            raise ValueError(
+                "column-sharded decode requires conve_out_bias=False "
+                "(the per-entity bias parameter spans the full table)"
+            )
+        ent_emb, rel_embed = self.encode(graph, training)
+        sub_emb = jnp.take(ent_emb, subj, axis=0, mode="clip")
+        rel_emb = take_small_table(rel_embed, rel)
+        col_start = jax.lax.axis_index(col_axis) * n_cols
+        cols = jax.lax.dynamic_slice_in_dim(ent_emb, col_start, n_cols, axis=0)
+        return self.score_fn(cols, sub_emb, rel_emb, training)
+
 
 class MixedScoreFn(nn.Module):
     """Softmax-weighted mixture over score functions (models/cell_lp.py:36-50).
@@ -555,6 +581,7 @@ def bce_probs_loss(
 
 def bce_logits_loss(
     logits, labels, row_mask=None, col_mask=None, axis: str | None = None,
+    col_axis: str | None = None,
 ):
     """BCE-with-logits with the same masked-mean semantics as
     :func:`bce_probs_loss` — identical VALUE (BCELoss(sigmoid(x)) ==
@@ -565,17 +592,21 @@ def bce_logits_loss(
     so the reference never hits this; NOTES round-3). Ranking on logits
     is identical to ranking on probs (sigmoid is monotone)."""
     ll = optax_sigmoid_bce(logits, labels)  # positive = -log-likelihood
-    if row_mask is None and col_mask is None and axis is None:
+    if row_mask is None and col_mask is None and axis is None and col_axis is None:
         return jnp.mean(ll)
     rm = jnp.ones(logits.shape[0]) if row_mask is None else row_mask
     cm = jnp.ones(logits.shape[1]) if col_mask is None else col_mask
     m = rm[:, None] * cm[None, :]
     num = jnp.sum(ll * m)
     rows = jnp.sum(rm)
-    if axis is not None:
+    cols = jnp.sum(cm)
+    if axis is not None:  # query rows sharded over `axis` (DP analog)
         num = jax.lax.psum(num, axis)
         rows = jax.lax.psum(rows, axis)
-    return num / jnp.maximum(rows * jnp.sum(cm), 1.0)
+    if col_axis is not None:  # entity columns sharded over `col_axis` (TP)
+        num = jax.lax.psum(num, col_axis)
+        cols = jax.lax.psum(cols, col_axis)
+    return num / jnp.maximum(rows * cols, 1.0)
 
 
 def transe_triplet_score(ent_emb, rel_embed, triplets, gamma: float = 40.0):

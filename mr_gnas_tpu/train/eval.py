@@ -50,6 +50,54 @@ def filtered_ranks(pred: jax.Array, labels: jax.Array, obj: jax.Array, col_mask:
     return rank.astype(jnp.float32)
 
 
+def filtered_ranks_cols(
+    pred: jax.Array,
+    labels: jax.Array,
+    obj: jax.Array,
+    col_mask: jax.Array,
+    model_axis: str,
+):
+    """:func:`filtered_ranks` over a *column shard* of the score matrix,
+    inside ``shard_map`` — the TP-analog consumer of the sharded 1-vs-N
+    decode (reference: the [B, num_ent] matmul at model_lp.py:135).
+
+    Each device on ``model_axis`` holds contiguous entity columns
+    ``[k*N_loc, (k+1)*N_loc)`` of its query rows; rank-by-count needs only
+    two scalar-per-row psums (target pick + tie/greater counts), so the
+    full score row never materializes on one device.
+
+    Args:
+      pred:     [B, N_loc] local column shard of the scores.
+      labels:   [B, N_loc] matching column shard of known positives.
+      obj:      [B] GLOBAL target entity ids (replicated over the axis).
+      col_mask: [N_loc] local shard of the real-entity column mask.
+      model_axis: mesh axis name the entity columns shard over.
+    Returns [B] float ranks (1-indexed), replicated over ``model_axis``.
+    """
+    b, n_loc = pred.shape
+    brange = jnp.arange(b)
+    col_start = jax.lax.axis_index(model_axis) * n_loc
+    loc = obj - col_start
+    owned = (loc >= 0) & (loc < n_loc)
+    loc_c = jnp.clip(loc, 0, n_loc - 1)
+    target = jax.lax.psum(
+        jnp.where(owned, pred[brange, loc_c], 0.0), model_axis
+    )
+    clamped = jnp.where(labels > 0.5, NEG_FILTER, pred)
+    clamped = jnp.where(col_mask[None, :] > 0, clamped, NEG_PAD)
+    # un-filter the target's own column on its owner shard
+    cur = clamped[brange, loc_c]
+    clamped = clamped.at[brange, loc_c].set(jnp.where(owned, target, cur))
+    greater = jax.lax.psum(
+        jnp.sum(clamped > target[:, None], axis=1), model_axis
+    )
+    ties = jax.lax.psum(  # includes obj itself (exactly once, owner shard)
+        jnp.sum(clamped == target[:, None], axis=1), model_axis
+    )
+    rank = 1.0 + greater + 0.5 * (ties - 1)
+    return rank.astype(jnp.float32)
+
+
 def accumulate_rank_results(ranks: np.ndarray, results: dict | None = None, ks=(1, 3, 10)):
     """Accumulate count/mr/mrr/hits@k sums (train/mr_lp_train.py:304-308)."""
     results = results or {}

@@ -63,24 +63,34 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # [B, N] 1-vs-N decode and the filtered ranking per device.
     mesh = None
     data_n = 1
+    model_n = 1
     if cfg.mesh_shape:
         from mr_gnas_tpu.dist import make_mesh, replicate
 
         mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
         data_n = mesh.shape.get("data", 1)
+        model_n = mesh.shape.get("model", 1)
         if cfg.batch_size % data_n:
             raise ValueError(
                 f"--batch-size {cfg.batch_size} must be divisible by the "
                 f"data axis {data_n} under --mesh-shape"
             )
-        log.info("mesh: %s (manual-SPMD edge partitioning)", dict(mesh.shape))
+        log.info(
+            "mesh: %s (manual-SPMD edge partitioning%s)", dict(mesh.shape),
+            "; eval decode column-sharded over 'model'" if model_n > 1 else "",
+        )
 
     kg = load_dataset(cfg.dataset, cfg.data_root)
     triplets = process(
         {"train": kg.train, "valid": kg.valid, "test": kg.test}, kg.num_rels
     )
     # full train graph — exact static size unless sharding needs pads
-    graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels, pad_multiple=data_n)
+    # (node count must divide into data-axis blocks AND, when the model
+    # axis is active, into entity-column shards for the TP-analog decode)
+    graph = build_rel_graph(
+        kg.train, kg.num_ent, kg.num_rels,
+        pad_multiple=int(np.lcm(data_n, model_n)),
+    )
     graph_dev = graph  # what the steps consume (local-stacked under a mesh)
     if mesh is not None:
         from mr_gnas_tpu.dist.spmd import build_local_graph, shard_local_tree
@@ -218,17 +228,40 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 out_specs=(P(), P()),
             )(params, bstats, gstack, subj, rel, labels, row_mask, cmask, dkey)
 
+        n_cols = graph.n_nodes // model_n
+
         def eval_body(params, bstats, gstack, subj, rel, obj, labels, cmask):
             def f(params, bstats, gstack, subj, rel, obj, labels, cmask):
                 g = local_view(gstack)
-                return _eval_body(
-                    params, bstats, g, subj, rel, obj, labels, cmask, axis="data"
-                )
+                if model_n == 1:
+                    return _eval_body(
+                        params, bstats, g, subj, rel, obj, labels, cmask,
+                        axis="data",
+                    )
+                # TP analog (SURVEY §2.9): the 1-vs-N decode scores this
+                # device's entity-column block only (logits_cols slices
+                # the encoded table), labels/col_mask arrive column-
+                # sharded, and the filtered ranking is a per-shard count
+                # + psum over 'model' — no [B, N] score row anywhere.
+                from mr_gnas_tpu.train.eval import filtered_ranks_cols
 
+                logits = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    g, subj, rel, n_cols, "model", False,
+                    method="logits_cols",
+                )
+                loss = bce_logits_loss(
+                    logits, labels, None, cmask, axis="data", col_axis="model"
+                )
+                ranks = filtered_ranks_cols(logits, labels, obj, cmask, "model")
+                return ranks, loss
+
+            lspec = P("data") if model_n == 1 else P("data", "model")
+            cspec = P() if model_n == 1 else P("model")
             return jax.shard_map(
                 f, mesh=mesh,
                 in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
-                          P("data"), P()),
+                          lspec, cspec),
                 out_specs=(P("data"), P()),
             )(params, bstats, gstack, subj, rel, obj, labels, cmask)
 

@@ -74,7 +74,13 @@ def main() -> None:
     )
     loss.block_until_ready()
     t4 = time.perf_counter()
-    print(f"first run: {t4 - t3:.1f}s  loss={float(loss):.5f}", flush=True)
+    # through the axon tunnel, block_until_ready can return before the
+    # remote execution finishes (observed round 4); the value fetch is
+    # the reliable barrier — time both
+    lv = float(loss)
+    t4b = time.perf_counter()
+    print(f"first run: dispatch+block {t4 - t3:.1f}s, value fetch "
+          f"{t4b - t4:.1f}s, loss={lv:.5f}", flush=True)
 
     t5 = time.perf_counter()
     for _ in range(args.steps):
@@ -82,7 +88,7 @@ def main() -> None:
         params, bstats, opt_state, loss = compiled(
             params, bstats, opt_state, *inputs, k
         )
-    loss.block_until_ready()
+    float(loss)  # value fetch = the reliable tunnel barrier (see above)
     dt = time.perf_counter() - t5
     n_edges = int(__import__("numpy").asarray(graph.edge_mask).sum())
     print(f"step: {1e3 * dt / args.steps:.2f} ms  "
