@@ -509,6 +509,11 @@ def main():
         help="measure only the headline config (no NC, no fixed-workload "
         "re-measurement) — for probing config variants one per process",
     )
+    ap.add_argument(
+        "--graph-batch", type=int, default=131072,
+        help="edge batch for the lp headline config (probe variants with "
+        "--headline-only; 131072 is the recorded headline)",
+    )
     args = ap.parse_args()
     _enable_compile_cache()
     if args.task == "nc":
@@ -587,8 +592,8 @@ def main():
             nc_result = {"error": f"{type(e).__name__}: {e}"}
 
     out = run_bench(
-        bf16=True, graph_batch=131072, grouped_neg=True, pallas_agg=True,
-        megakernel=True, neg_chunk=1024, spmd=args.spmd,
+        bf16=True, graph_batch=args.graph_batch, grouped_neg=True,
+        pallas_agg=True, megakernel=True, neg_chunk=1024, spmd=args.spmd,
     )
     if not args.headline_only:
         # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted
