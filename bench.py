@@ -514,6 +514,12 @@ def main():
         help="edge batch for the lp headline config (probe variants with "
         "--headline-only; 131072 is the recorded headline)",
     )
+    ap.add_argument(
+        "--shape", default="fb", choices=("fb", "wn"),
+        help="lp supernet workload shape: fb = FB15k-237 (14541 ents, "
+        "237 rels), wn = WN18RR (40943 ents, 11 rels — the node-section/"
+        "entity-table-dominated skew)",
+    )
     args = ap.parse_args()
     _enable_compile_cache()
     if args.task == "nc":
@@ -591,10 +597,16 @@ def main():
         except Exception as e:  # the LP headline must survive an NC hiccup
             nc_result = {"error": f"{type(e).__name__}: {e}"}
 
+    shape_kw = (
+        {} if args.shape == "fb" else {"num_ent": 40943, "num_rels": 11}
+    )
     out = run_bench(
         bf16=True, graph_batch=args.graph_batch, grouped_neg=True,
         pallas_agg=True, megakernel=True, neg_chunk=1024, spmd=args.spmd,
+        **shape_kw,
     )
+    if args.shape != "fb":
+        out["config"] = "wn shape (40943 ents, 11 rels)"
     if not args.headline_only:
         # 50 steps: at ~15 ms/step the 20-step timing is visibly polluted
         # by tunnel launch latency (measured 147k vs 276k back-to-back)

@@ -30,13 +30,20 @@ from mr_gnas_tpu.train import (
 
 def run_lp_predict(cfg: LPTrainConfig):
     """Load a retrain checkpoint and rank the test queries (serving
-    smoke path); requires --checkpoint and --genotype."""
+    smoke path); requires --checkpoint and --genotype. With
+    --mesh-shape d,m (m > 1) the precomputed entity table serves
+    row-sharded over the 'model' axis (serve.Predictor TP analog)."""
     import numpy as np
 
     from mr_gnas_tpu.data import load_dataset, process
     from mr_gnas_tpu.serve import Predictor
 
-    pred = Predictor.from_checkpoint(cfg.checkpoint, cfg)
+    mesh = None
+    if cfg.mesh_shape:
+        from mr_gnas_tpu.dist import make_mesh
+
+        mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+    pred = Predictor.from_checkpoint(cfg.checkpoint, cfg, mesh=mesh)
     kg = load_dataset(cfg.dataset, cfg.data_root)
     trips = process(
         {"train": kg.train, "valid": kg.valid, "test": kg.test}, kg.num_rels

@@ -41,3 +41,19 @@ def test_predictor_from_checkpoint(tmp_path):
     # topk really is the argmax prefix
     np.testing.assert_array_equal(idx[:, 0], s.argmax(axis=1))
     assert np.all(np.diff(vals, axis=1) <= 1e-7)
+
+    # from_checkpoint with a mesh: the served table is row-sharded over
+    # 'model' and the scores are unchanged (tests/test_tp.py covers the
+    # direct-constructor path; this covers the checkpoint + graph-pad
+    # path the CLI lp-predict --mesh-shape uses)
+    from mr_gnas_tpu.dist import make_mesh
+
+    mesh = make_mesh((8,), ("model",))
+    pred8 = Predictor.from_checkpoint(ckpt, cfg, mesh=mesh)
+    shards = {sh.data.shape[0] for sh in pred8.ent_emb.addressable_shards}
+    assert shards == {pred8.ent_emb.shape[0] // 8}
+    s8 = np.asarray(pred8.scores(subj, rel))
+    np.testing.assert_allclose(s8[:, : s.shape[1]], s, rtol=2e-5, atol=2e-6)
+    # padded entity columns (graph pads to a multiple of 8) never rank
+    _, idx8 = pred8.topk(subj, rel, k=5)
+    np.testing.assert_array_equal(idx8, idx)
