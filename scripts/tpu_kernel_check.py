@@ -168,6 +168,14 @@ def check_megakernel_step() -> None:
     l1, bs1, g1 = make_step(True)(params)
 
     def _rel_l2(tree0, tree1, tol, what):
+        # Per-leaf contract: ||a-b|| < tol * ||b|| + abs_floor. The
+        # absolute floor covers near-zero gradient directions (e.g. a BN
+        # bias right before another normalization makes the loss
+        # ~invariant: |g| ~ 1e-3-1e-6 while every real leaf is O(1e-1+)),
+        # whose "relative" error is noise divided by itself — the same
+        # pathology fixed in tests/test_spmd.py round 4. The floor is 4+
+        # orders below the real-leaf signal, so it can't mask wiring bugs.
+        abs_floor = 1e-6
         leaves0 = sorted(
             jax.tree_util.tree_leaves_with_path(tree0), key=lambda x: str(x[0])
         )
@@ -180,20 +188,21 @@ def check_megakernel_step() -> None:
         for (k0, v0), (k1, v1) in zip(leaves0, leaves1):
             assert str(k0) == str(k1), f"{what}: key mismatch {k0} != {k1}"
             num = float(jnp.linalg.norm((v0 - v1).ravel()))
-            den = max(float(jnp.linalg.norm(v1.ravel())), 1e-6)
+            den = float(jnp.linalg.norm(v1.ravel()))
             assert np.isfinite(num), f"{what}{jax.tree_util.keystr(k0)}: non-finite"
-            assert num / den < tol, (
-                f"{what}{jax.tree_util.keystr(k0)}: rel-L2 {num / den:.2e} >= {tol}"
+            assert num < tol * den + abs_floor, (
+                f"{what}{jax.tree_util.keystr(k0)}: ||diff|| {num:.2e} >= "
+                f"{tol} * ||ref|| {den:.2e} + {abs_floor}"
             )
             # aggregate rel-L2 can hide a localized wiring bug confined to
             # a small slice of a large tensor: also cap the worst element
             # at 10x the rel-L2 bound (scales with the contract tightness)
             cap = 10.0 * tol
             max_err = float(jnp.max(jnp.abs(v0 - v1)))
-            max_ref = max(float(jnp.max(jnp.abs(v1))), 1e-6)
-            assert max_err < cap * max_ref, (
+            max_ref = float(jnp.max(jnp.abs(v1)))
+            assert max_err < cap * max_ref + abs_floor, (
                 f"{what}{jax.tree_util.keystr(k0)}: max elem err {max_err:.2e} "
-                f">= {cap:g} * max |ref| {max_ref:.2e}"
+                f">= {cap:g} * max |ref| {max_ref:.2e} + {abs_floor}"
             )
 
     print(f"ok megakernel LPSupernet step compiled (loss {float(l1):.5f})")
