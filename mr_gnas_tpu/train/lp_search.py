@@ -291,14 +291,19 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         test_graph = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
         rank_filter = RankFilter(kg.train, kg.valid, kg.test)
 
+    from mr_gnas_tpu.train.metrics import PackedFetch
+
+    fetch_alphas = PackedFetch(alphas)  # one RPC round trip per epoch
+
     def decoded():
-        genos = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+        host_alphas = fetch_alphas(alphas)
+        genos = decode_genotypes(host_alphas, spec, cfg.layers)
         if cfg.search_score_fn:
             import dataclasses
 
             from mr_gnas_tpu.ops.registry import SF_OPS
 
-            sf = SF_OPS[int(np.argmax(np.asarray(alphas["final"][0])))]
+            sf = SF_OPS[int(np.argmax(host_alphas["final"][0]))]
             genos[-1] = dataclasses.replace(genos[-1], score_func=sf)
         return genos
 

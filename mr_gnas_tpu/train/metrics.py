@@ -98,6 +98,46 @@ class Throughput:
         return self.edges / max(dt, 1e-9)
 
 
+class PackedFetch:
+    """Fetch a small pytree of device arrays with ONE transfer.
+
+    ``jax.device_get`` on a pytree pulls each leaf in its own RPC round
+    trip — through the axon tunnel that costs tens of ms per leaf, and
+    the per-epoch genotype-patience decode fetches the 5 alpha tensors
+    every epoch (the search drivers' hidden host drag). A jitted
+    concatenate packs the leaves into one flat f32 buffer on device;
+    the host splits it back. Bit-identical values, one round trip.
+    """
+
+    def __init__(self, tree):
+        import jax
+        import jax.numpy as jnp
+
+        leaves, self._treedef = jax.tree_util.tree_flatten(tree)
+        assert all(x.dtype == jnp.float32 for x in leaves), (
+            "PackedFetch packs into one f32 buffer; mixed dtypes would "
+            "silently promote"
+        )
+        self._shapes = [x.shape for x in leaves]
+        self._pack = jax.jit(
+            lambda t: jnp.concatenate(
+                [jnp.ravel(x) for x in jax.tree_util.tree_leaves(t)]
+            )
+        )
+
+    def __call__(self, tree):
+        import jax
+        import numpy as np
+
+        buf = np.asarray(self._pack(tree))
+        out, off = [], 0
+        for s in self._shapes:
+            n = int(np.prod(s)) if s else 1
+            out.append(buf[off : off + n].reshape(s))
+            off += n
+        return jax.tree_util.tree_unflatten(self._treedef, out)
+
+
 def count_parameters(params) -> int:
     import jax
 

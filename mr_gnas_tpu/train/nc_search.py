@@ -213,7 +213,10 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
             total += n
         return accs / max(total, 1)
 
-    best_geno = genotypes_to_json(decode_genotypes(jax.device_get(alphas), spec, cfg.layers))
+    from mr_gnas_tpu.train.metrics import PackedFetch
+
+    fetch_alphas = PackedFetch(alphas)  # one RPC round trip per epoch
+    best_geno = genotypes_to_json(decode_genotypes(fetch_alphas(alphas), spec, cfg.layers))
     patience = 0
     thr = Throughput()
     steps_total = 0
@@ -268,7 +271,7 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
 
         if epoch >= cfg.warm_epochs:
             genotypes = genotypes_to_json(
-                decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+                decode_genotypes(fetch_alphas(alphas), spec, cfg.layers)
             )
             if genotypes == best_geno:
                 patience += 1
@@ -279,7 +282,7 @@ def run_nc_search(cfg: NCSearchConfig, max_steps: int | None = None) -> dict:
                 log.info("Reached max patience; best genotype %s", best_geno)
                 break
 
-    genotypes = decode_genotypes(jax.device_get(alphas), spec, cfg.layers)
+    genotypes = decode_genotypes(fetch_alphas(alphas), spec, cfg.layers)
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),
         {"params": params, "batch_stats": bstats, "alphas": alphas,

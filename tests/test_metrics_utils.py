@@ -76,3 +76,34 @@ def test_guard_finite_raises_and_saves():
     assert called == [1]
     with pytest.raises(NonFiniteLossError):
         guard_finite(np.inf, 8)
+
+
+def test_packed_fetch_matches_device_get():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mr_gnas_tpu.train.metrics import PackedFetch
+
+    tree = {
+        "zero": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "first": jnp.ones((4, 5), jnp.float32) * 0.25,
+        "final": jnp.asarray([[1.5, -2.0]], jnp.float32),
+    }
+    fetch = PackedFetch(tree)
+    got = fetch(tree)
+    want = jax.device_get(tree)
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(want)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == b.shape
+
+
+def test_packed_fetch_rejects_mixed_dtypes():
+    import jax.numpy as jnp
+    import pytest
+
+    from mr_gnas_tpu.train.metrics import PackedFetch
+
+    with pytest.raises(AssertionError, match="f32"):
+        PackedFetch({"a": jnp.zeros(3, jnp.float32), "b": jnp.zeros(3, jnp.int32)})
