@@ -112,13 +112,20 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # so each positive's (s*r)/(r*o) row is shared across its group —
     # same BCE objective (tests/test_models.py equivalence), ~16% faster
     # steps on TPU (NOTES.md). False restores the reference layout.
-    neg_chunk: int = 0  # >0: chunk-shared negatives — positives are
+    neg_chunk: int = -1  # chunk-shared negatives — positives are
     # split into chunks of ~this many rows and each chunk shares one
     # negative set (data/sampling.negative_sampling_chunked), turning
     # the [P, n, D] negative score slabs + P*n-row grad scatter into
     # batched MXU matmuls + a G*n-row scatter
     # (models/lp.lp_search_loss_chunked). Requires grouped_negatives.
-    # 0 = off (per-positive grouped negatives, the default).
+    # -1 = auto (1024 on TPU — the headline layout, promoted to the
+    # TPU default in round 4 after the selection-fidelity studies:
+    # identical minikg genotypes (round 2), and at the 131k config the
+    # chunked long-horizon search decodes the same genotype the grouped
+    # 500-step run does, with the one transient gene flip inside the
+    # within-layout seed-variance null — NOTES round-4; 0 off
+    # elsewhere). 0 = per-positive grouped negatives (the reference-
+    # faithful per-positive draw); >0 forces that chunk size anywhere.
     pallas_agg: int = -1  # edge->node aggregators through the fused
     # Pallas gather+compose+reduce kernel (kernels/fused_agg.py) over a
     # statically-padded blocked CSR (one compilation across sampled

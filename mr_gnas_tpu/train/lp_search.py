@@ -40,7 +40,14 @@ from mr_gnas_tpu.train.metrics import (
 
 
 def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
-    if cfg.neg_chunk > 0 and not cfg.grouped_negatives:
+    # neg_chunk auto-default (config.py): 1024 on TPU (the headline
+    # layout, fidelity-studied), 0 elsewhere; explicit values win
+    neg_chunk = (
+        (1024 if jax.default_backend() == "tpu" and cfg.grouped_negatives
+         else 0)
+        if cfg.neg_chunk < 0 else cfg.neg_chunk
+    )
+    if neg_chunk > 0 and not cfg.grouped_negatives:
         raise ValueError("--neg-chunk requires --grouped-negatives true")
     run_dir = setup_run_dir(cfg.save_dir, f"lp-search-{cfg.dataset}")
     log = setup_logging(run_dir)
@@ -98,7 +105,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             data, bs, cfg.graph_split_size, kg.num_rels, adj, deg,
             cfg.negative_sample, cfg.edge_sampler, rng, n_nodes_pad=pad,
             n_fwd_pad=round_up(int(bs * cfg.graph_split_size), data_n),
-            grouped=cfg.grouped_negatives, neg_chunk=cfg.neg_chunk,
+            grouped=cfg.grouped_negatives, neg_chunk=neg_chunk,
         )
         import dataclasses
 
@@ -196,7 +203,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         )
         if cfg.grouped_negatives:
             nh, nt = lab
-            if cfg.neg_chunk > 0:
+            if neg_chunk > 0:
                 from mr_gnas_tpu.models.lp import lp_search_loss_chunked
 
                 return lp_search_loss_chunked(
