@@ -12,6 +12,7 @@ from __future__ import annotations
 import functools
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -359,6 +360,11 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     import dataclasses
 
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    # per-phase wall-clock attribution (logged each log_every window):
+    # wait = prefetch stall (sampling + host->device transfer not hidden
+    # by compute), steps = arch+weight dispatch-to-dispatch, decode =
+    # alpha fetch + genotype decode (one packed RPC round trip)
+    phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
     pending = pool.submit(make_batches, start_epoch) if start_epoch < n_steps else None
     for epoch in range(start_epoch, n_steps):
         # optional profiler capture of the first post-compile steps
@@ -371,11 +377,14 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             profiler = None
         # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
         k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
+        _t0 = time.perf_counter()
         batch, batch_val, trip, trip_v, lab, lab_v = pending.result()
+        phase_s["wait"] += time.perf_counter() - _t0
         pending = (
             pool.submit(make_batches, epoch + 1) if epoch + 1 < n_steps else None
         )
 
+        _t0 = time.perf_counter()
         if epoch >= cfg.warm_epochs:
             if cfg.unrolled:
                 alphas, a_opt, arch_loss = arch_step_unrolled(
@@ -392,6 +401,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         params, bstats, w_opt, loss = weight_step(
             params, bstats, w_opt, alphas, batch.graph, trip, lab, k2
         )
+        phase_s["steps"] += time.perf_counter() - _t0
         # under a mesh the stacked local graph's n_edge_rows is per-shard
         thr.step(batch.graph.n_edge_rows * (data_n if mesh is not None else 1))
 
@@ -409,10 +419,15 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             )
 
         if epoch % cfg.log_every == 0:
+            n_win = max(cfg.log_every, 1)
             log.info(
-                "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s",
+                "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s | "
+                "wait %.0fms steps %.0fms decode %.0fms /ep",
                 epoch, float(loss), float(arch_loss), thr.edges_per_sec,
+                1e3 * phase_s["wait"] / n_win, 1e3 * phase_s["steps"] / n_win,
+                1e3 * phase_s["decode"] / n_win,
             )
+            phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
             scalars.log(
                 epoch,
                 train_loss=float(loss),
@@ -436,7 +451,9 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             scalars.log(epoch, test_mrr=mrr, test_hits10=hit_k[2])
 
         if epoch >= cfg.warm_epochs:
+            _t0 = time.perf_counter()
             genotypes = genotypes_to_json(decoded())
+            phase_s["decode"] += time.perf_counter() - _t0
             if genotypes == best_geno:
                 patience += 1
             else:
