@@ -85,11 +85,19 @@ def iterate_batches(
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
     drop_last: bool = False,
+    raw_u8: bool = False,
 ):
     """Yield (triples [B,3] i32, labels [B,num_ent] f32, mask [B] f32).
 
     The final short batch is padded to ``batch_size`` (mask marks real
     rows) so every step hits the same compiled program.
+
+    ``raw_u8=True`` yields the UNsmoothed multi-hot as uint8 instead
+    (4x fewer host->device bytes for the [B, num_ent] block — the
+    transfer-heavy part of every lp-train step); the caller applies the
+    smoothing on device: ``(1 - smooth) * y + 1/num_ent``
+    (:func:`smooth_labels`, the same f32 arithmetic as
+    :func:`multi_hot`).
     """
     n = len(qs)
     order = np.arange(n)
@@ -108,5 +116,23 @@ def iterate_batches(
         else:
             mask = np.ones(batch_size, np.float32)
         triples = qs.triples[idx].astype(np.int32)
-        labels = multi_hot([qs.labels[i] for i in idx], num_ent, smooth)
+        if raw_u8:
+            labels = np.zeros((len(idx), num_ent), dtype=np.uint8)
+            for i, j in enumerate(idx):
+                labels[i, qs.labels[j]] = 1
+        else:
+            labels = multi_hot([qs.labels[i] for i in idx], num_ent, smooth)
         yield triples, labels, mask
+
+
+def smooth_labels(labels_u8, smooth: float, num_ent: int):
+    """Device-side counterpart of :func:`multi_hot`'s smoothing for
+    ``raw_u8`` batches: ``(1 - smooth) * y + 1/num_ent`` (the reference's
+    constant-``1/num_ent`` quirk, utils/data_set.py:22), in f32. With
+    ``smooth == 0`` it is just the cast. ``num_ent`` is the REAL entity
+    count — padded label columns get the additive constant too, but every
+    consumer masks them (bce col_mask / ranks use unsmoothed labels)."""
+    y = labels_u8.astype("float32")
+    if smooth == 0.0:
+        return y
+    return (1.0 - smooth) * y + 1.0 / num_ent

@@ -179,6 +179,10 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # (bce_logits_loss): same value as the reference's BCELoss-on-
     # sigmoid, but the gradient survives decoder saturation (the probs
     # form's eps-clip stalls ConvE — NOTES round-3).
+    from mr_gnas_tpu.data.labels import smooth_labels
+
+    # labels arrive as uint8 multi-hot (iterate_batches raw_u8 — 4x fewer
+    # tunnel/PCIe bytes per step); the smoothing runs on device
     def _train_loss(params, bstats, g, subj, rel, labels, row_mask, cmask, dkey, axis):
         logits, mut = model.apply(
             {"params": params, "batch_stats": bstats},
@@ -186,7 +190,8 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             mutable=["batch_stats"], rngs={"dropout": dkey},
             method="logits",
         )
-        l = bce_logits_loss(logits, labels, row_mask, cmask, axis=axis)
+        lab = smooth_labels(labels, cfg.lbl_smooth, kg.num_ent)
+        l = bce_logits_loss(logits, lab, row_mask, cmask, axis=axis)
         return l, mut["batch_stats"]
 
     def _eval_body(params, bstats, g, subj, rel, obj, labels, cmask, axis):
@@ -194,6 +199,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             {"params": params, "batch_stats": bstats}, g, subj, rel, False,
             method="logits",
         )
+        labels = labels.astype(jnp.float32)
         loss = bce_logits_loss(logits, labels, None, cmask, axis=axis)
         # ranking on logits == ranking on probs (sigmoid is monotone);
         # row-sharded under SPMD: each device ranks its (s, r) query
@@ -250,6 +256,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                     g, subj, rel, n_cols, "model", False,
                     method="logits_cols",
                 )
+                labels = labels.astype(jnp.float32)
                 loss = bce_logits_loss(
                     logits, labels, None, cmask, axis="data", col_axis="model"
                 )
@@ -280,15 +287,25 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     def eval_step(params, bstats, graph, subj, rel, obj, labels):
         return eval_body(params, bstats, graph, subj, rel, obj, labels, col_mask)
 
+    from mr_gnas_tpu.train.metrics import prefetched
+
+    def _to_eval_arrays(batch):
+        trip, labels, mask = batch
+        return (
+            jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
+            jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)), mask,
+        )
+
     def predict(qs):
         results, losses = {}, []
-        for trip, labels, mask in iterate_batches(
-            qs, kg.num_ent, cfg.batch_size, smooth=0.0
+        # the [B, num_ent] label blocks are the transfer-heavy part of
+        # eval; build + ship them ahead of the device (prefetched)
+        for subj, rel, obj, labels, mask in prefetched(
+            iterate_batches(qs, kg.num_ent, cfg.batch_size, raw_u8=True),
+            _to_eval_arrays,
         ):
             ranks, loss = eval_step(
-                params, bstats, graph_dev,
-                jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-                jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)),
+                params, bstats, graph_dev, subj, rel, obj, labels
             )
             n_real = int(mask.sum())
             results = accumulate_rank_results(np.asarray(ranks)[:n_real], results)
@@ -316,21 +333,33 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         # (seed, epoch, step), so a resumed run continues bit-exactly
         rng = np.random.default_rng([cfg.seed, epoch])
         key = jax.random.fold_in(jax.random.key(cfg.seed + 7), epoch)
-        train_loss = 0.0
-        for step, (trip, labels, mask) in enumerate(
-            iterate_batches(
-                triplets["train"], kg.num_ent, cfg.batch_size,
-                smooth=cfg.lbl_smooth, shuffle=True, rng=rng,
+        ep_losses = []  # device scalars; ONE fetch per epoch (a per-step
+        # float(loss) would sync the dispatch pipeline every step)
+
+        def _to_train_arrays(batch):
+            trip, labels, mask = batch
+            return (
+                jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
+                jnp.asarray(pad_cols(labels)), jnp.asarray(mask),
+            )
+
+        for step, (subj, rel, labels, mask) in enumerate(
+            prefetched(
+                iterate_batches(
+                    triplets["train"], kg.num_ent, cfg.batch_size,
+                    shuffle=True, rng=rng, raw_u8=True,
+                ),
+                _to_train_arrays,
             )
         ):
             dkey = jax.random.fold_in(key, step)
             params, bstats, opt_state, loss = train_step(
-                params, bstats, opt_state, graph_dev,
-                jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-                jnp.asarray(pad_cols(labels)), jnp.asarray(mask), dkey,
+                params, bstats, opt_state, graph_dev, subj, rel, labels,
+                mask, dkey,
             )
-            train_loss += float(loss)
+            ep_losses.append(loss)
             thr.step(n_edges)
+        train_loss = float(jnp.sum(jnp.stack(ep_losses))) if ep_losses else 0.0
         scalars.log(epoch, train_loss=train_loss, edges_per_sec=thr.edges_per_sec)
         log.info("Train_Epoch %04d | Loss %.4f | %.0f edges/s", epoch, train_loss, thr.edges_per_sec)
 

@@ -138,6 +138,37 @@ class PackedFetch:
         return jax.tree_util.tree_unflatten(self._treedef, out)
 
 
+def prefetched(iterable, prepare, depth: int = 2):
+    """Run ``prepare(item)`` for upcoming items on a worker thread.
+
+    The driver loops build + device-transfer each minibatch's arrays
+    (for lp-train: a [B, num_ent] multi-hot label block per step)
+    serially between device steps; preparing ``depth`` items ahead on a
+    thread overlaps host build + host->device transfer with the device's
+    current step. ``prepare`` runs in submission order on ONE worker, so
+    anything RNG-dependent stays deterministic.
+    """
+    import collections
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        queue = collections.deque()
+        it = iter(iterable)
+        done = False
+        while True:
+            while not done and len(queue) < depth:
+                try:
+                    queue.append(pool.submit(prepare, next(it)))
+                except StopIteration:
+                    done = True
+            if not queue:
+                return
+            yield queue.popleft().result()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
 def count_parameters(params) -> int:
     import jax
 

@@ -274,3 +274,32 @@ def test_unmounted_known_dataset_error_points_at_contract(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="DATA.md"):
         load_dataset("wn18rr", data_root=str(tmp_path))
+
+
+def test_raw_u8_batches_and_device_smoothing_match_multi_hot():
+    """iterate_batches(raw_u8=True) + smooth_labels == the host-smoothed
+    multi_hot path (the lp-train transfer optimization), including the
+    reference's constant-1/num_ent smoothing quirk."""
+    import jax.numpy as jnp
+
+    from mr_gnas_tpu.data import process
+    from mr_gnas_tpu.data.labels import iterate_batches, smooth_labels
+
+    trips = np.array(
+        [[0, 0, 1], [0, 0, 2], [1, 1, 2], [2, 0, 0], [1, 0, 0]], np.int64
+    )
+    t = process({"train": trips, "valid": trips[:1], "test": trips[:1]}, 2)
+    for smooth in (0.0, 0.1):
+        ref = list(
+            iterate_batches(t["train"], num_ent=3, batch_size=4, smooth=smooth)
+        )
+        raw = list(
+            iterate_batches(t["train"], num_ent=3, batch_size=4, raw_u8=True)
+        )
+        assert len(ref) == len(raw)
+        for (rt, rl, rm), (ut, ul, um) in zip(ref, raw):
+            assert ul.dtype == np.uint8
+            np.testing.assert_array_equal(rt, ut)
+            np.testing.assert_array_equal(rm, um)
+            got = np.asarray(smooth_labels(jnp.asarray(ul), smooth, 3))
+            np.testing.assert_allclose(got, rl, rtol=0, atol=1e-7)
