@@ -197,8 +197,11 @@ def run_nc_train(cfg: NCTrainConfig, max_epochs: int | None = None) -> dict:
                 params, bstats, opt_state, blocks, jnp.asarray(sp),
                 jnp.asarray(ds.labels[idx_b]), jnp.asarray(mask), dkey,
             )
-            losses.append(float(loss))
+            losses.append(loss)  # device scalar; fetched once per epoch
             thr.step(sum(b.n_edges for b in blocks))
+        # ONE fetch per epoch (a per-step float(loss) would sync the
+        # dispatch pipeline every step)
+        losses = [float(x) for x in np.asarray(jnp.stack(losses))] if losses else []
 
         if cfg.finite_check_every and epoch % cfg.finite_check_every == 0:
             from mr_gnas_tpu.train.metrics import guard_finite
