@@ -141,6 +141,11 @@ class LPTrainConfig(BaseConfig):
     epochs: int = 120
     batch_size: int = 256
     num_base_r: int = 23
+    eval_every: int = 1  # run the filtered-ranking valid+test pass every
+    # N epochs (the reference evaluates every epoch,
+    # train/mr_lp_train.py:233-240 — the default keeps that cadence; at
+    # FB15k-237 scale one full eval costs ~2 training epochs, so long
+    # runs can thin it; the FINAL epoch always evaluates)
     # the published FB15k-237 genotype with the ConvE head — the
     # reference's default (train/mr_lp_train.py:379-380)
     genotype: str = (

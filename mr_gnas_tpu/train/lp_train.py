@@ -376,6 +376,8 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 ),
             )
 
+        if epoch % max(1, cfg.eval_every) and epoch != cfg.epochs - 1:
+            continue
         val_res, val_loss = infer("valid", epoch)
         test_res, test_loss = infer("test", epoch)
         final_test = test_res

@@ -193,6 +193,35 @@ def test_lp_train_driver(tmp_path):
     assert any("test_mrr" in r for r in recs)
 
 
+def test_lp_train_eval_every(tmp_path):
+    # eval_every thins the per-epoch ranking pass; the final epoch always
+    # evaluates so out["test"] reflects the trained model.
+    cfg = LPTrainConfig(
+        dataset="synthetic",
+        save_dir=str(tmp_path),
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=4,
+        eval_every=3,
+        genotype=GENO_LP,
+        embed_dim=16,
+        num_filt=4,
+        ker_sz=3,
+        k_w=4,
+        k_h=4,
+        log_every=1,
+    )
+    out = run_lp_train(cfg)
+    with open(os.path.join(out["run_dir"], "scalars.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    eval_epochs = sorted(r["step"] for r in recs if "val_mrr" in r)
+    # epochs 0 and 3 (multiple of 3) evaluate; 3 is also the final epoch
+    assert eval_epochs == [0, 3]
+    assert 0.0 <= out["test"]["mrr"] <= 1.0
+
+
 def test_lp_train_resume(tmp_path):
     cfg = LPTrainConfig(
         dataset="synthetic",
