@@ -298,6 +298,20 @@ class LPNetwork(nn.Module):
     def __call__(self, graph: RelGraph, subj, rel, training: bool = False):
         return jax.nn.sigmoid(self.logits(graph, subj, rel, training))
 
+    def logits_from(self, ent_emb, rel_embed, subj, rel, training: bool = False):
+        """1-vs-N decoder logits from a precomputed encoding.
+
+        The GNN encode is query-independent, so an eval epoch can run
+        :meth:`encode` once and score every query batch against the
+        cached table — the same hoist ``serve.Predictor`` applies; the
+        reference instead re-encodes the full graph for every eval batch
+        (train/mr_lp_train.py:289-294). Identical arithmetic to
+        :meth:`logits`: gather + score on the already-encoded tables.
+        """
+        sub_emb = jnp.take(ent_emb, subj, axis=0, mode="clip")
+        rel_emb = take_small_table(rel_embed, rel)
+        return self.score_fn(ent_emb, sub_emb, rel_emb, training)
+
     def logits_cols(
         self, graph: RelGraph, subj, rel, n_cols: int, col_axis: str,
         training: bool = False,

@@ -287,6 +287,36 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     def eval_step(params, bstats, graph, subj, rel, obj, labels):
         return eval_body(params, bstats, graph, subj, rel, obj, labels, col_mask)
 
+    # encode-once eval (single-device path): the encoder output is
+    # query-independent, so each infer() runs the full-graph encode ONE
+    # time and the per-batch step is just gather+score+rank — the same
+    # hoist serve.Predictor applies. At FB15k-237 scale this removes
+    # ~150 full-graph forwards per valid+test pass. The mesh path keeps
+    # the fused per-batch body (its encoder is shard_map'd with the
+    # graph; the hoist would need a second sharded program).
+    if mesh is None:
+
+        @jax.jit
+        def encode_step(params, bstats, graph):
+            return model.apply(
+                {"params": params, "batch_stats": bstats}, graph, False,
+                method="encode",
+            )
+
+        @jax.jit
+        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels):
+            logits = model.apply(
+                {"params": params, "batch_stats": bstats},
+                ent_emb, rel_embed, subj, rel, False, method="logits_from",
+            )
+            labels = labels.astype(jnp.float32)
+            loss = bce_logits_loss(logits, labels, None, col_mask, axis=None)
+            ranks = filtered_ranks(logits, labels, obj, col_mask)
+            return ranks, loss
+
+    else:
+        encode_step = None
+
     from mr_gnas_tpu.train.metrics import prefetched
 
     def _to_eval_arrays(batch):
@@ -296,7 +326,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)), mask,
         )
 
-    def predict(qs):
+    def predict(qs, enc=None):
         results, losses = {}, []
         # the [B, num_ent] label blocks are the transfer-heavy part of
         # eval; build + ship them ahead of the device (prefetched)
@@ -304,17 +334,23 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             iterate_batches(qs, kg.num_ent, cfg.batch_size, raw_u8=True),
             _to_eval_arrays,
         ):
-            ranks, loss = eval_step(
-                params, bstats, graph_dev, subj, rel, obj, labels
-            )
+            if enc is None:
+                ranks, loss = eval_step(
+                    params, bstats, graph_dev, subj, rel, obj, labels
+                )
+            else:
+                ranks, loss = score_step(
+                    params, bstats, enc[0], enc[1], subj, rel, obj, labels
+                )
             n_real = int(mask.sum())
             results = accumulate_rank_results(np.asarray(ranks)[:n_real], results)
             losses.append(float(loss))
         return results, float(np.sum(losses))
 
     def infer(tag, epoch):
-        left, l_loss = predict(triplets[f"{tag}_tail"])
-        right, r_loss = predict(triplets[f"{tag}_head"])
+        enc = None if encode_step is None else encode_step(params, bstats, graph_dev)
+        left, l_loss = predict(triplets[f"{tag}_tail"], enc)
+        right, r_loss = predict(triplets[f"{tag}_head"], enc)
         res = combine_results(left, right)
         loss = 0.5 * (l_loss + r_loss)
         log.info(

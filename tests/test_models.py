@@ -117,6 +117,36 @@ def test_lp_network_retrain_forward(rng):
     assert float(jnp.abs(grads["emb"]["embedding_h"]).sum()) > 0
 
 
+def test_lp_network_logits_from_matches_logits(rng):
+    # the encode-once eval path (encode + logits_from) must reproduce
+    # the fused per-batch decode exactly — same gather+score arithmetic
+    kg = synthetic_kg(num_ent=50, num_rels=3, n_train=150)
+    g = build_rel_graph(kg.train, kg.num_ent, kg.num_rels)
+    genos = parse_reference_genotypes(REF_GENO)
+    model = LPNetwork(
+        genotypes=tuple(genos),
+        num_ent=kg.num_ent,
+        num_rels=kg.num_rels,
+        feature_dim=D,
+        init_fea_dim=8,
+        num_base_r=4,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+        score_args={"embed_dim": D},
+    )
+    subj = jnp.asarray([0, 1, 2, 3])
+    rel = jnp.asarray([0, 1, 3, 4])
+    variables = model.init(jax.random.key(0), g, subj, rel, False)
+    fused = model.apply(variables, g, subj, rel, False, method="logits")
+    ent_emb, rel_embed = model.apply(variables, g, False, method="encode")
+    hoisted = model.apply(
+        variables, ent_emb, rel_embed, subj, rel, False, method="logits_from"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(hoisted), rtol=1e-6, atol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_lp_network_conve_head(rng):
     kg = synthetic_kg(num_ent=30, num_rels=3, n_train=100)
