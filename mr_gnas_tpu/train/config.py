@@ -141,6 +141,14 @@ class LPTrainConfig(BaseConfig):
     epochs: int = 120
     batch_size: int = 256
     num_base_r: int = 23
+    steps_per_call: int = 1  # device-side training loop: lax.scan this
+    # many optimizer steps per jitted call (labels for the whole chunk
+    # ship in one transfer), hiding per-step host dispatch/transfer
+    # latency — the driver-throughput lever for remote TPUs. 1 = the
+    # reference's step-per-call loop. Same math either way (scan body =
+    # train_step's computation, same fold_in dropout keys; losses agree
+    # to XLA-schedule float noise — equivalence-tested). Single-device
+    # path only; ignored under a mesh.
     eval_every: int = 1  # run the filtered-ranking valid+test pass every
     # N epochs (the reference evaluates every epoch,
     # train/mr_lp_train.py:233-240 — the default keeps that cadence; at

@@ -283,6 +283,39 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
+    # device-side training loop (--steps-per-call K): lax.scan K
+    # optimizer steps in ONE jitted call — the K label blocks ship as a
+    # single [K, B, N] uint8 transfer and the host pays one dispatch per
+    # K steps instead of per step. Same math as the per-step loop: the
+    # scan body is train_step's computation and the dropout key is the
+    # same fold_in(epoch_key, global_step); results agree to XLA
+    # schedule-level float noise (equivalence-tested).
+    spc = max(1, int(getattr(cfg, "steps_per_call", 1))) if mesh is None else 1
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_steps(params, bstats, opt_state, graph, subjs, rels, labels,
+                    row_masks, key, step0):
+        def body(carry, xs):
+            p, bs, os = carry
+            subj, rel, lab, rm, st = xs
+            dk = jax.random.fold_in(key, st)
+
+            def loss_fn(pp):
+                return train_loss_fn(
+                    pp, bs, graph, subj, rel, lab, rm, col_mask, dk
+                )
+
+            (loss, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            updates, os = tx.update(grads, os, p)
+            return (optax.apply_updates(p, updates), nbs, os), loss
+
+        steps = step0 + jnp.arange(subjs.shape[0])
+        (params, bstats, opt_state), losses = jax.lax.scan(
+            body, (params, bstats, opt_state),
+            (subjs, rels, labels, row_masks, steps),
+        )
+        return params, bstats, opt_state, losses
+
     @jax.jit
     def eval_step(params, bstats, graph, subj, rel, obj, labels):
         return eval_body(params, bstats, graph, subj, rel, obj, labels, col_mask)
@@ -379,22 +412,65 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 jnp.asarray(pad_cols(labels)), jnp.asarray(mask),
             )
 
-        for step, (subj, rel, labels, mask) in enumerate(
-            prefetched(
-                iterate_batches(
-                    triplets["train"], kg.num_ent, cfg.batch_size,
-                    shuffle=True, rng=rng, raw_u8=True,
-                ),
-                _to_train_arrays,
-            )
-        ):
-            dkey = jax.random.fold_in(key, step)
-            params, bstats, opt_state, loss = train_step(
-                params, bstats, opt_state, graph_dev, subj, rel, labels,
-                mask, dkey,
-            )
-            ep_losses.append(loss)
-            thr.step(n_edges)
+        batches = iterate_batches(
+            triplets["train"], kg.num_ent, cfg.batch_size,
+            shuffle=True, rng=rng, raw_u8=True,
+        )
+        if spc == 1:
+            for step, (subj, rel, labels, mask) in enumerate(
+                prefetched(batches, _to_train_arrays)
+            ):
+                dkey = jax.random.fold_in(key, step)
+                params, bstats, opt_state, loss = train_step(
+                    params, bstats, opt_state, graph_dev, subj, rel, labels,
+                    mask, dkey,
+                )
+                ep_losses.append(loss)
+                thr.step(n_edges)
+        else:
+
+            def _chunks(it, k):
+                buf = []
+                for x in it:
+                    buf.append(x)
+                    if len(buf) == k:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
+            def _to_train_chunk(bufs):
+                trips = [b[0] for b in bufs]
+                return (
+                    jnp.asarray(np.stack([t[:, 0] for t in trips])),
+                    jnp.asarray(np.stack([t[:, 1] for t in trips])),
+                    jnp.asarray(np.stack([pad_cols(b[1]) for b in bufs])),
+                    jnp.asarray(np.stack([b[2] for b in bufs])),
+                    len(bufs),
+                )
+
+            step = 0
+            for subjs, rels, labs, rms, k in prefetched(
+                _chunks(batches, spc), _to_train_chunk
+            ):
+                if k == spc:
+                    params, bstats, opt_state, losses = train_steps(
+                        params, bstats, opt_state, graph_dev, subjs, rels,
+                        labs, rms, key, step,
+                    )
+                    ep_losses.append(jnp.sum(losses))
+                else:
+                    # remainder chunk: per-step fallback on the
+                    # single-step program (same math)
+                    for i in range(k):
+                        dkey = jax.random.fold_in(key, step + i)
+                        params, bstats, opt_state, loss = train_step(
+                            params, bstats, opt_state, graph_dev, subjs[i],
+                            rels[i], labs[i], rms[i], dkey,
+                        )
+                        ep_losses.append(loss)
+                step += k
+                thr.step(n_edges * k)
         train_loss = float(jnp.sum(jnp.stack(ep_losses))) if ep_losses else 0.0
         scalars.log(epoch, train_loss=train_loss, edges_per_sec=thr.edges_per_sec)
         log.info("Train_Epoch %04d | Loss %.4f | %.0f edges/s", epoch, train_loss, thr.edges_per_sec)

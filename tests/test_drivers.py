@@ -222,6 +222,43 @@ def test_lp_train_eval_every(tmp_path):
     assert 0.0 <= out["test"]["mrr"] <= 1.0
 
 
+def test_lp_train_steps_per_call_equivalent(tmp_path):
+    # the device-side scan loop (--steps-per-call) must reproduce the
+    # per-step loop exactly: same fold_in(epoch_key, step) dropout keys,
+    # same optimizer-update order. 150 train triples / batch 32 = 5
+    # steps -> spc=2 exercises both full chunks and the remainder path.
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=2,
+        genotype=GENO_LP,
+        embed_dim=16,
+        num_filt=4,
+        ker_sz=3,
+        k_w=4,
+        k_h=4,
+        log_every=1,
+    )
+    out1 = run_lp_train(LPTrainConfig(save_dir=str(tmp_path / "s1"), **base))
+    out2 = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "s2"), steps_per_call=2, **base)
+    )
+    assert out2["test"]["mrr"] == pytest.approx(out1["test"]["mrr"], abs=1e-9)
+    assert out2["test"]["mr"] == pytest.approx(out1["test"]["mr"], abs=1e-6)
+
+    def losses(out):
+        with open(os.path.join(out["run_dir"], "scalars.jsonl")) as f:
+            return [
+                json.loads(l)["train_loss"] for l in f
+                if "train_loss" in l
+            ]
+
+    np.testing.assert_allclose(losses(out1), losses(out2), rtol=1e-5)
+
+
 def test_lp_train_resume(tmp_path):
     cfg = LPTrainConfig(
         dataset="synthetic",
