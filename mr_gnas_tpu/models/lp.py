@@ -312,6 +312,28 @@ class LPNetwork(nn.Module):
         rel_emb = take_small_table(rel_embed, rel)
         return self.score_fn(ent_emb, sub_emb, rel_emb, training)
 
+    def logits_from_cols(
+        self, ent_emb, rel_embed, subj, rel, n_cols: int, col_axis: str,
+        training: bool = False,
+    ):
+        """Column-sharded 1-vs-N decode from a PRECOMPUTED encoding: the
+        encode-once hoist (:meth:`logits_from`) composed with the TP-
+        analog column sharding (:meth:`logits_cols`) — one full-graph
+        encode per eval pass, then each device scores its contiguous
+        entity-column block of the cached table. Replaces the
+        reference's per-eval-batch full-graph re-encode
+        (train/mr_lp_train.py:289-294) on the sharded path."""
+        if (self.score_args or {}).get("conve_out_bias"):
+            raise ValueError(
+                "column-sharded decode requires conve_out_bias=False "
+                "(the per-entity bias parameter spans the full table)"
+            )
+        sub_emb = jnp.take(ent_emb, subj, axis=0, mode="clip")
+        rel_emb = take_small_table(rel_embed, rel)
+        col_start = jax.lax.axis_index(col_axis) * n_cols
+        cols = jax.lax.dynamic_slice_in_dim(ent_emb, col_start, n_cols, axis=0)
+        return self.score_fn(cols, sub_emb, rel_emb, training)
+
     def logits_cols(
         self, graph: RelGraph, subj, rel, n_cols: int, col_axis: str,
         training: bool = False,

@@ -132,6 +132,17 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # graphs, graph/build.attach_csr static_pad). -1 = auto (on for TPU
     # backends, off elsewhere — interpret-mode Pallas on CPU is slow);
     # 0/1 force. +20% measured on v5e at the headline config (NOTES.md).
+    steps_per_call: int = 1  # device-side search loop: lax.scan this
+    # many search EPOCHS (arch step + weight step each, the reference's
+    # one-optimization-step-per-epoch unit, search/mr_lp_search.py:193-
+    # 251) per jitted call. The K epochs' sampled graphs + batches stack
+    # into one host->device transfer (they are statically padded, so
+    # every epoch has identical shapes) and the host pays one dispatch
+    # per K epochs. Genotype-patience semantics are EXACT: the scan
+    # emits every epoch's alpha snapshot and the host decodes each in
+    # order. Same math as the per-epoch loop (same fold_in(seed, epoch)
+    # key derivation; equivalence-tested). First-order architect,
+    # single-device path; ignored under a mesh / --unrolled.
 
 
 @dataclasses.dataclass

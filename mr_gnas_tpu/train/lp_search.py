@@ -287,6 +287,57 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         params = optax.apply_updates(params, updates)
         return params, new_bs, w_opt, loss
 
+    # device-side search loop (--steps-per-call K): lax.scan K search
+    # epochs (arch + weight step each — the reference's one-optimization-
+    # step-per-epoch unit, search/mr_lp_search.py:193-251) in ONE jitted
+    # call. The K sampled graphs/batches are statically padded, so they
+    # stack into [K, ...] leaves and ship as one transfer; the host pays
+    # one dispatch + one packed fetch per K epochs instead of per epoch.
+    # Key derivation matches the per-epoch path exactly
+    # (split(fold_in(key(seed), epoch))), and the scan emits EVERY
+    # epoch's alpha snapshot so genotype-patience decoding is
+    # bit-identical. First-order architect, single-device only.
+    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
+    if spc > 1 and (mesh is not None or cfg.unrolled):
+        log.info("steps-per-call: forced to 1 (mesh/unrolled path)")
+        spc = 1
+    if spc > 1 and cfg.eval_every > 0 and cfg.eval_every % spc:
+        log.info(
+            "steps-per-call: forced to 1 (--eval-every %d not a multiple)",
+            cfg.eval_every,
+        )
+        spc = 1
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def search_epochs(params, bstats, alphas, w_opt, a_opt, base_key, xs):
+        def body(carry, x):
+            params, bstats, alphas, w_opt, a_opt = carry
+            g_t, t_t, l_t, g_v, t_v, l_v, ep = x
+            k1, k2 = jax.random.split(jax.random.fold_in(base_key, ep))
+
+            def vloss(a):
+                return loss_fn(params, bstats, a, g_v, t_v, l_v, k1)
+
+            (aloss, bstats), agr = jax.value_and_grad(vloss, has_aux=True)(alphas)
+            aupd, a_opt = a_tx.update(agr, a_opt, alphas)
+            alphas = optax.apply_updates(alphas, aupd)
+
+            def wloss(p):
+                return loss_fn(p, bstats, alphas, g_t, t_t, l_t, k2)
+
+            (wl, bstats), wgr = jax.value_and_grad(wloss, has_aux=True)(params)
+            wupd, w_opt = w_tx.update(wgr, w_opt, params)
+            params = optax.apply_updates(params, wupd)
+            # f32 outputs: the packed per-chunk fetch is one f32 buffer
+            return (params, bstats, alphas, w_opt, a_opt), (
+                wl.astype(jnp.float32), aloss.astype(jnp.float32), alphas
+            )
+
+        carry, outs = jax.lax.scan(
+            body, (params, bstats, alphas, w_opt, a_opt), xs
+        )
+        return carry + (outs,)
+
     # full test graph for optional in-search eval (infer_graph analog);
     # the known-positive filter index is built ONCE (RankFilter), not per
     # eval call
@@ -359,14 +410,175 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     import concurrent.futures
     import dataclasses
 
+    def chunk_batches(e0):
+        """Sample + stack + device-transfer spc epochs starting at e0.
+
+        Each epoch's arrays are statically padded (identical shapes), so
+        they stack into [spc, ...] leaves and the whole chunk ships in
+        one transfer batch. Derived purely from (seed, epoch) like
+        make_batches, so prefetching is bit-identical to inline work."""
+        raws = []
+        for e in range(e0, e0 + spc):
+            ep_rng = np.random.default_rng([cfg.seed, e])
+            b = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, ep_rng)
+            bv = sample(
+                kg.valid, cfg.graph_batch_size_val, adj_v, deg_v,
+                n_nodes_pad_val, ep_rng,
+            )
+            raws.append((b, bv))
+
+        def stack(xs):
+            return jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *xs)
+
+        if cfg.grouped_negatives:
+            labs_t = stack([(b.neg_heads, b.neg_tails) for b, _ in raws])
+            labs_v = stack([(bv.neg_heads, bv.neg_tails) for _, bv in raws])
+        else:
+            labs_t = stack([b.labels for b, _ in raws])
+            labs_v = stack([bv.labels for _, bv in raws])
+        return (
+            stack([b.graph for b, _ in raws]),
+            stack([b.triplets for b, _ in raws]),
+            labs_t,
+            stack([bv.graph for _, bv in raws]),
+            stack([bv.triplets for _, bv in raws]),
+            labs_v,
+            jnp.arange(e0, e0 + spc, dtype=jnp.int32),
+        )
+
+    base_key = jax.random.key(cfg.seed)
+    fetch_outs = None  # PackedFetch over (losses, arch_losses, alpha_hist)
+
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     # per-phase wall-clock attribution (logged each log_every window):
     # wait = prefetch stall (sampling + host->device transfer not hidden
-    # by compute), steps = arch+weight dispatch-to-dispatch, decode =
-    # alpha fetch + genotype decode (one packed RPC round trip)
+    # by compute), steps = arch+weight dispatch-to-dispatch (chunk mode:
+    # dispatch + the packed result fetch), decode = alpha fetch +
+    # genotype decode (one packed RPC round trip per epoch or chunk)
     phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
-    pending = pool.submit(make_batches, start_epoch) if start_epoch < n_steps else None
-    for epoch in range(start_epoch, n_steps):
+
+    def _is_chunk(e):
+        return spc > 1 and e >= cfg.warm_epochs and e + spc <= n_steps
+
+    def _submit(e):
+        if e >= n_steps:
+            return None
+        if _is_chunk(e):
+            return ("chunk", pool.submit(chunk_batches, e))
+        return ("one", pool.submit(make_batches, e))
+
+    stop = False
+    pending = _submit(start_epoch)
+    epoch = start_epoch
+    while epoch < n_steps and not stop:
+        kind, fut = pending
+        if kind == "chunk":
+            _t0 = time.perf_counter()
+            xs = fut.result()
+            phase_s["wait"] += time.perf_counter() - _t0
+            pending = _submit(epoch + spc)
+            _t0 = time.perf_counter()
+            params, bstats, alphas, w_opt, a_opt, outs = search_epochs(
+                params, bstats, alphas, w_opt, a_opt, base_key, xs
+            )
+            if fetch_outs is None:
+                fetch_outs = PackedFetch(outs)
+            losses_h, alosses_h, alpha_hist = fetch_outs(outs)
+            phase_s["steps"] += time.perf_counter() - _t0
+            thr.step(int(xs[0].n_edge_rows) * spc)
+            loss = losses_h[-1]
+            arch_loss = alosses_h[-1]
+
+            _t0 = time.perf_counter()
+            for k in range(spc):
+                e = epoch + k
+                if cfg.finite_check_every and e % cfg.finite_check_every == 0:
+                    from mr_gnas_tpu.train.metrics import guard_finite
+
+                    guard_finite(
+                        float(losses_h[k]), e, log,
+                        save_fn=lambda: save_checkpoint(
+                            os.path.join(run_dir, "abort_state.msgpack"),
+                            {"params": params, "batch_stats": bstats,
+                             "alphas": alphas, "w_opt": w_opt, "a_opt": a_opt},
+                            {"epoch": e, "reason": "non-finite loss"},
+                        ),
+                    )
+                if e % cfg.log_every == 0:
+                    n_win = max(cfg.log_every, 1)
+                    log.info(
+                        "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s | "
+                        "wait %.0fms steps %.0fms decode %.0fms /ep",
+                        e, float(losses_h[k]), float(alosses_h[k]),
+                        thr.edges_per_sec,
+                        1e3 * phase_s["wait"] / n_win,
+                        1e3 * phase_s["steps"] / n_win,
+                        1e3 * phase_s["decode"] / n_win,
+                    )
+                    phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
+                    scalars.log(
+                        e, train_loss=float(losses_h[k]),
+                        arch_loss=float(alosses_h[k]),
+                        edges_per_sec=thr.edges_per_sec,
+                    )
+                # genotype-patience on this epoch's alpha snapshot —
+                # bit-identical decode order vs the per-epoch loop
+                host_a = jax.tree.map(lambda x: np.asarray(x[k]), alpha_hist)
+                genos = decode_genotypes(host_a, spec, cfg.layers)
+                if cfg.search_score_fn:
+                    from mr_gnas_tpu.ops.registry import SF_OPS
+
+                    sf = SF_OPS[int(np.argmax(host_a["final"][0]))]
+                    genos[-1] = dataclasses.replace(genos[-1], score_func=sf)
+                gjson = genotypes_to_json(genos)
+                if gjson == best_geno:
+                    patience += 1
+                else:
+                    patience = 0
+                    best_geno = gjson
+                if patience >= cfg.max_patience:
+                    log.info("Reached max patience; best genotype %s", best_geno)
+                    stop = True
+                    break
+            phase_s["decode"] += time.perf_counter() - _t0
+
+            last_e = epoch + spc - 1
+            if (
+                cfg.eval_every > 0
+                and any(
+                    e > 0 and e % cfg.eval_every == 0
+                    for e in range(epoch, epoch + spc)
+                )
+                and not stop
+            ):
+                # chunk mode evaluates the end-of-chunk state (the
+                # in-search eval is advisory logging, not selection)
+                ent, rel = model.apply(
+                    {"params": params, "batch_stats": bstats}, test_graph,
+                    alphas, False,
+                )
+                mrr, hit_k = calc_mrr(
+                    ent, rel, kg.train, kg.valid, kg.test,
+                    eval_bz=cfg.eval_batch_size, eval_p=cfg.eval_protocol,
+                    num_ent=kg.num_ent, rank_filter=rank_filter,
+                )
+                log.info(
+                    "Eval@%04d | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",
+                    last_e, mrr, *hit_k,
+                )
+                scalars.log(last_e, test_mrr=mrr, test_hits10=hit_k[2])
+            if any(
+                e % cfg.save_model_freq == 0 and e > 0
+                for e in range(epoch, epoch + spc)
+            ):
+                save_checkpoint(
+                    os.path.join(run_dir, "search_state.msgpack"),
+                    {"params": params, "batch_stats": bstats, "alphas": alphas,
+                     "w_opt": w_opt, "a_opt": a_opt},
+                    {"epoch": last_e, "genotypes": best_geno},
+                )
+            epoch += spc
+            continue
         # optional profiler capture of the first post-compile steps
         if cfg.profile_steps > 0 and epoch == start_epoch + 2:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -378,11 +590,9 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         # per-epoch derived RNG/keys -> resumed runs continue bit-exactly
         k1, k2 = jax.random.split(jax.random.fold_in(jax.random.key(cfg.seed), epoch))
         _t0 = time.perf_counter()
-        batch, batch_val, trip, trip_v, lab, lab_v = pending.result()
+        batch, batch_val, trip, trip_v, lab, lab_v = fut.result()
         phase_s["wait"] += time.perf_counter() - _t0
-        pending = (
-            pool.submit(make_batches, epoch + 1) if epoch + 1 < n_steps else None
-        )
+        pending = _submit(epoch + 1)
 
         _t0 = time.perf_counter()
         if epoch >= cfg.warm_epochs:
@@ -470,6 +680,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
                  "w_opt": w_opt, "a_opt": a_opt},
                 {"epoch": epoch, "genotypes": best_geno},
             )
+        epoch += 1
 
     if profiler is not None:
         jax.profiler.stop_trace()

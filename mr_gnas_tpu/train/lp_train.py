@@ -289,8 +289,11 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # K steps instead of per step. Same math as the per-step loop: the
     # scan body is train_step's computation and the dropout key is the
     # same fold_in(epoch_key, global_step); results agree to XLA
-    # schedule-level float noise (equivalence-tested).
-    spc = max(1, int(getattr(cfg, "steps_per_call", 1))) if mesh is None else 1
+    # schedule-level float noise (equivalence-tested). Works under a
+    # mesh too (round-5): the scan body IS the shard_map'd step — the
+    # stacked [K, B, ...] label blocks ship unsharded and the in_specs
+    # reshard each sliced step, identically to the per-step path.
+    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_steps(params, bstats, opt_state, graph, subjs, rels, labels,
@@ -348,7 +351,70 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             return ranks, loss
 
     else:
-        encode_step = None
+        # mesh encode-once (round-5): a second sharded program runs the
+        # shard_map'd encoder ONCE per infer pass — the per-layer
+        # all-gather leaves (ent_emb, rel_embed) replicated, so
+        # out_specs=P() is exact — then the per-batch program is just
+        # gather+score+rank: row-sharded over 'data' and, when the model
+        # axis is active, column-sharded over 'model' (logits_from_cols).
+        # This removes the full-graph re-encode per eval batch that the
+        # single-device path already eliminated (the reference re-encodes
+        # per batch, train/mr_lp_train.py:289-294).
+        from jax.sharding import PartitionSpec as _P
+
+        @jax.jit
+        def encode_step(params, bstats, gstack):
+            def f(params, bstats, gstack):
+                g = local_view(gstack)
+                return model.apply(
+                    {"params": params, "batch_stats": bstats}, g, False,
+                    method="encode",
+                )
+
+            # check_vma off: the encoder's final all_gather makes
+            # (ent_emb, rel_embed) truly replicated over 'data', but the
+            # static varying-axes analysis cannot infer that through the
+            # gather — the replicated out_specs are semantically exact
+            # (rank equality vs single-device is asserted in tests)
+            return jax.shard_map(
+                f, mesh=mesh, in_specs=(_P(), _P(), gspec),
+                out_specs=(_P(), _P()), check_vma=False,
+            )(params, bstats, gstack)
+
+        @jax.jit
+        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels):
+            def f(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels, cmask):
+                labels = labels.astype(jnp.float32)
+                if model_n == 1:
+                    logits = model.apply(
+                        {"params": params, "batch_stats": bstats},
+                        ent_emb, rel_embed, subj, rel, False,
+                        method="logits_from",
+                    )
+                    loss = bce_logits_loss(logits, labels, None, cmask, axis="data")
+                    ranks = filtered_ranks(logits, labels, obj, cmask)
+                    return ranks, loss
+                from mr_gnas_tpu.train.eval import filtered_ranks_cols
+
+                logits = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    ent_emb, rel_embed, subj, rel, n_cols, "model", False,
+                    method="logits_from_cols",
+                )
+                loss = bce_logits_loss(
+                    logits, labels, None, cmask, axis="data", col_axis="model"
+                )
+                ranks = filtered_ranks_cols(logits, labels, obj, cmask, "model")
+                return ranks, loss
+
+            lspec = _P("data") if model_n == 1 else _P("data", "model")
+            cspec = _P() if model_n == 1 else _P("model")
+            return jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(_P(), _P(), _P(), _P(), _P("data"), _P("data"),
+                          _P("data"), lspec, cspec),
+                out_specs=(_P("data"), _P()),
+            )(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels, col_mask)
 
     from mr_gnas_tpu.train.metrics import prefetched
 
@@ -488,7 +554,19 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 ),
             )
 
-        if epoch % max(1, cfg.eval_every) and epoch != cfg.epochs - 1:
+        # periodic checkpointing is decoupled from eval cadence: with
+        # --eval-every E the eval guard below skips most epochs, but
+        # resume points must still land every save_model_freq epochs
+        if epoch % cfg.save_model_freq == 0 and epoch > 1:
+            save_checkpoint(
+                os.path.join(run_dir, f"model_{epoch}.msgpack"),
+                {"params": params, "batch_stats": bstats, "opt_state": opt_state},
+                {"epoch": epoch},
+            )
+
+        # final-epoch eval compares against the EFFECTIVE bound (epochs =
+        # max_epochs or cfg.epochs), so truncated runs still eval last
+        if epoch % max(1, cfg.eval_every) and epoch != epochs - 1:
             continue
         val_res, val_loss = infer("valid", epoch)
         test_res, test_loss = infer("test", epoch)
@@ -508,13 +586,6 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 {"params": params, "batch_stats": bstats, "opt_state": opt_state},
                 {"epoch": epoch, "mrr": best["mrr"]},
             )
-        if epoch % cfg.save_model_freq == 0 and epoch > 1:
-            save_checkpoint(
-                os.path.join(run_dir, f"model_{epoch}.msgpack"),
-                {"params": params, "batch_stats": bstats, "opt_state": opt_state},
-                {"epoch": epoch},
-            )
-
     log.info("Best_epoch_mrr %04d | mrr %.4f", best["epoch"], best["mrr"])
     scalars.close()
     return {

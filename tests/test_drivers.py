@@ -222,6 +222,48 @@ def test_lp_train_eval_every(tmp_path):
     assert 0.0 <= out["test"]["mrr"] <= 1.0
 
 
+def test_lp_search_steps_per_call_equivalent(tmp_path):
+    # the device-side search scan (--steps-per-call) must reproduce the
+    # per-epoch loop: same split(fold_in(key(seed), epoch)) keys, same
+    # arch-then-weight update order, bit-identical genotype decode
+    # sequence (the scan emits every epoch's alpha snapshot). epochs=8 /
+    # warm=1 / spc=3 exercises warm per-epoch prologue, two full chunks,
+    # and the per-epoch remainder.
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=6,
+        graph_batch_size=40,
+        graph_batch_size_val=20,
+        negative_sample=3,
+        warm_epochs=1,
+        epochs=8,
+        layers=1,
+        max_patience=99,
+        log_every=1,
+    )
+    out1 = run_lp_search(LPSearchConfig(save_dir=str(tmp_path / "s1"), **base))
+    out3 = run_lp_search(
+        LPSearchConfig(save_dir=str(tmp_path / "s3"), steps_per_call=3, **base)
+    )
+    assert [g.to_reference_str() for g in out3["genotypes"]] == [
+        g.to_reference_str() for g in out1["genotypes"]
+    ]
+    assert out3["last_loss"] == pytest.approx(out1["last_loss"], rel=1e-5)
+
+    def losses(out):
+        with open(os.path.join(out["run_dir"], "scalars.jsonl")) as f:
+            return [
+                (json.loads(l)["train_loss"], json.loads(l)["arch_loss"])
+                for l in f if "train_loss" in l
+            ]
+
+    np.testing.assert_allclose(
+        np.array(losses(out1)), np.array(losses(out3)), rtol=2e-4, atol=1e-6
+    )
+
+
 def test_lp_train_steps_per_call_equivalent(tmp_path):
     # the device-side scan loop (--steps-per-call) must reproduce the
     # per-step loop exactly: same fold_in(epoch_key, step) dropout keys,
@@ -374,8 +416,22 @@ def test_lp_train_driver_mesh(tmp_path):
     )
     # single-STEP equality is exact (tests/test_spmd.py retrain test);
     # over a full epoch (~32 optimizer steps + BN running stats) fp
-    # reassociation of the psum'd statistics compounds to ~0.2% on MRR
+    # reassociation of the psum'd statistics compounds to ~0.2% on MRR.
+    # The mesh eval path is encode-once (round-5): one shard_map'd
+    # full-graph encode per infer pass, then column-sharded
+    # gather+score+rank (logits_from_cols) — so this equality also
+    # certifies the hoisted sharded eval against the single-device path.
     np.testing.assert_allclose(out8["test"]["mrr"], out1["test"]["mrr"], rtol=5e-3)
+    # --steps-per-call composes with the mesh (round-5): the scan body
+    # is the shard_map'd step; K=2 must reproduce the mesh K=1 run up
+    # to XLA schedule noise
+    out8k = run_lp_train(
+        LPTrainConfig(
+            save_dir=str(tmp_path / "t8k"), mesh_shape=(4, 2),
+            steps_per_call=2, **base,
+        )
+    )
+    np.testing.assert_allclose(out8k["test"]["mrr"], out8["test"]["mrr"], rtol=1e-4)
 
 
 def test_nc_search_driver(tmp_path):
