@@ -336,6 +336,7 @@ def run_bench_nc(steps: int = 30, warmup: int = 3, **kw) -> dict:
 def make_step_lptrain(
     score_func: str = "sf_ConvE", batch_size: int = 256,
     max_train_edges: int = 0, dataset: str = "synthetic-fb",
+    pallas_agg: bool = False,
 ):
     """LP retrain train step at exact reference scale: FULL-train-graph
     GNN forward (272,115 FB15k-237 triples = 558,771 edge+self rows per
@@ -371,6 +372,14 @@ def make_step_lptrain(
             )
         ]
     graph = build_rel_graph(train, kg.num_ent, kg.num_rels)
+    if pallas_agg:
+        # route the aggregators through the Pallas blocked-CSR kernels
+        # (fixed graph -> exact CSR, no static padding needed). Also the
+        # cold-compile probe arm: the XLA scatter path is the suspected
+        # server-compile hog at 544k rows (scripts/fullgraph_probe.py)
+        from mr_gnas_tpu.graph.build import attach_csr
+
+        graph = attach_csr(graph)
     geno = parse_reference_genotypes(
         "[Genotype(alpha_cell=[('pre_mult', 1, 0), ('f_sparse_comp', 2, 1), "
         "('f_sparse_comp', 3, 2), ('a_max', 4, 2), ('a_max', 5, 3), "

@@ -86,20 +86,26 @@ def iterate_batches(
     rng: np.random.Generator | None = None,
     drop_last: bool = False,
     raw_u8: bool = False,
+    sparse_pad_id: int | None = None,
 ):
-    """Yield (triples [B,3] i32, labels [B,num_ent] f32, mask [B] f32).
+    """Yield (triples [B,3] i32, labels, mask [B] f32).
 
     The final short batch is padded to ``batch_size`` (mask marks real
     rows) so every step hits the same compiled program.
 
+    ``labels`` is the [B, num_ent] smoothed f32 multi-hot by default;
     ``raw_u8=True`` yields the UNsmoothed multi-hot as uint8 instead
-    (4x fewer host->device bytes for the [B, num_ent] block — the
-    transfer-heavy part of every lp-train step); the caller applies the
-    smoothing on device: ``(1 - smooth) * y + 1/num_ent``
-    (:func:`smooth_labels`, the same f32 arithmetic as
-    :func:`multi_hot`).
+    (4x fewer host->device bytes); ``sparse_pad_id`` yields the packed
+    [B, K] object-id rows (:func:`pack_label_ids` — ~num_ent/K fewer
+    bytes, K = max fan-out ~15 at FB15k-237 scale) for device-side
+    reconstruction via :func:`labels_from_ids`. The caller applies
+    smoothing on device either way (:func:`smooth_labels`).
     """
     n = len(qs)
+    packed = (
+        pack_label_ids(qs, sparse_pad_id) if sparse_pad_id is not None
+        else None
+    )
     order = np.arange(n)
     if shuffle:
         (rng or np.random.default_rng()).shuffle(order)
@@ -116,13 +122,69 @@ def iterate_batches(
         else:
             mask = np.ones(batch_size, np.float32)
         triples = qs.triples[idx].astype(np.int32)
-        if raw_u8:
+        if packed is not None:
+            labels = packed[idx]
+        elif raw_u8:
             labels = np.zeros((len(idx), num_ent), dtype=np.uint8)
             for i, j in enumerate(idx):
                 labels[i, qs.labels[j]] = 1
         else:
             labels = multi_hot([qs.labels[i] for i in idx], num_ent, smooth)
         yield triples, labels, mask
+
+
+def pack_label_ids(qs: QuerySet, pad_id: int) -> np.ndarray:
+    """Pack the ragged per-query label lists into one [n, K] id matrix.
+
+    K = the query set's max fan-out (a dataset constant — 15 on the
+    FB15k-237-scale synthetic train set); absent slots hold ``pad_id``
+    (callers use the label matrix's column count, so the device scatter
+    lands pads in a throwaway column). This is the sparse wire form of
+    the [B, num_ent] multi-hot: ~num_ent/K fewer host->device bytes per
+    step, the dominant transfer of every lp-train step through a remote
+    tunnel. Reconstruction (:func:`labels_from_ids`) is exact.
+
+    Cached on the QuerySet after the first call.
+    """
+    cached = getattr(qs, "_packed", None)
+    if cached is not None and cached[0] == pad_id:
+        return cached[1]
+    k = max((len(l) for l in qs.labels), default=1) or 1
+    dt = np.uint16 if pad_id <= np.iinfo(np.uint16).max else np.int32
+    out = np.full((len(qs.labels), k), pad_id, dtype=dt)
+    for i, l in enumerate(qs.labels):
+        out[i, : len(l)] = l
+    qs._packed = (pad_id, out)
+    return out
+
+
+def labels_from_ids(obj_ids, n_cols: int):
+    """Device-side inverse of :func:`pack_label_ids`: [B, K] padded id
+    rows -> the exact [B, n_cols] 0/1 f32 multi-hot (pad slots carry the
+    id ``n_cols`` and land in a throwaway column). Feed the result to
+    :func:`smooth_labels` for the training target."""
+    import jax.numpy as jnp
+
+    b = obj_ids.shape[0]
+    y = jnp.zeros((b, n_cols + 1), jnp.float32)
+    y = y.at[
+        jnp.arange(b, dtype=jnp.int32)[:, None], obj_ids.astype(jnp.int32)
+    ].set(1.0)
+    return y[:, :n_cols]
+
+
+def labels_from_ids_cols(obj_ids, n_cols: int, col_start):
+    """Column-sharded :func:`labels_from_ids` (TP analog): build only this
+    device's entity-column block [col_start, col_start + n_cols) of the
+    multi-hot; ids outside the block land in the throwaway column."""
+    import jax.numpy as jnp
+
+    ids = obj_ids.astype(jnp.int32) - col_start
+    ids = jnp.where((ids >= 0) & (ids < n_cols), ids, n_cols)
+    b = obj_ids.shape[0]
+    y = jnp.zeros((b, n_cols + 1), jnp.float32)
+    y = y.at[jnp.arange(b, dtype=jnp.int32)[:, None], ids].set(1.0)
+    return y[:, :n_cols]
 
 
 def smooth_labels(labels_u8, smooth: float, num_ent: int):

@@ -310,9 +310,14 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
     def search_epochs(params, bstats, alphas, w_opt, a_opt, base_key, xs):
+        from mr_gnas_tpu.train.wire import wire_to_batch
+
         def body(carry, x):
             params, bstats, alphas, w_opt, a_opt = carry
-            g_t, t_t, l_t, g_v, t_v, l_v, ep = x
+            w_t, w_v, ep = x
+            # narrow wire -> exact original arrays, on device (wire.py)
+            g_t, t_t, l_t = wire_to_batch(w_t)
+            g_v, t_v, l_v = wire_to_batch(w_v)
             k1, k2 = jax.random.split(jax.random.fold_in(base_key, ep))
 
             def vloss(a):
@@ -411,38 +416,38 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     import dataclasses
 
     def chunk_batches(e0):
-        """Sample + stack + device-transfer spc epochs starting at e0.
+        """Sample + pack + stack + device-transfer spc epochs from e0.
 
         Each epoch's arrays are statically padded (identical shapes), so
         they stack into [spc, ...] leaves and the whole chunk ships in
-        one transfer batch. Derived purely from (seed, epoch) like
-        make_batches, so prefetching is bit-identical to inline work."""
-        raws = []
-        for e in range(e0, e0 + spc):
+        one transfer batch — in the narrow wire format (train/wire.py):
+        ~3.7x fewer bytes than the plain arrays, which is the binding
+        constraint through the ~20 MB/s axon tunnel. Derived purely from
+        (seed, epoch) like make_batches, so prefetching is bit-identical
+        to inline sampling (resume unaffected)."""
+        from mr_gnas_tpu.train.wire import batch_to_wire
+
+        def one(e):
+            # per-epoch RNG keyed on (seed, epoch): identical streams no
+            # matter which worker thread runs it
             ep_rng = np.random.default_rng([cfg.seed, e])
             b = sample(kg.train, cfg.graph_batch_size, adj, deg, n_nodes_pad, ep_rng)
             bv = sample(
                 kg.valid, cfg.graph_batch_size_val, adj_v, deg_v,
                 n_nodes_pad_val, ep_rng,
             )
-            raws.append((b, bv))
+            return batch_to_wire(b), batch_to_wire(bv)
+
+        # the numpy-heavy sampling releases the GIL enough that a small
+        # worker pool hides it behind the device chunk (measured r5)
+        raws = list(sample_pool.map(one, range(e0, e0 + spc)))
 
         def stack(xs):
             return jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *xs)
 
-        if cfg.grouped_negatives:
-            labs_t = stack([(b.neg_heads, b.neg_tails) for b, _ in raws])
-            labs_v = stack([(bv.neg_heads, bv.neg_tails) for _, bv in raws])
-        else:
-            labs_t = stack([b.labels for b, _ in raws])
-            labs_v = stack([bv.labels for _, bv in raws])
         return (
-            stack([b.graph for b, _ in raws]),
-            stack([b.triplets for b, _ in raws]),
-            labs_t,
-            stack([bv.graph for _, bv in raws]),
-            stack([bv.triplets for _, bv in raws]),
-            labs_v,
+            stack([wt for wt, _ in raws]),
+            stack([wv for _, wv in raws]),
             jnp.arange(e0, e0 + spc, dtype=jnp.int32),
         )
 
@@ -450,6 +455,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     fetch_outs = None  # PackedFetch over (losses, arch_losses, alpha_hist)
 
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    sample_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
     # per-phase wall-clock attribution (logged each log_every window):
     # wait = prefetch stall (sampling + host->device transfer not hidden
     # by compute), steps = arch+weight dispatch-to-dispatch (chunk mode:
@@ -485,7 +491,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
                 fetch_outs = PackedFetch(outs)
             losses_h, alosses_h, alpha_hist = fetch_outs(outs)
             phase_s["steps"] += time.perf_counter() - _t0
-            thr.step(int(xs[0].n_edge_rows) * spc)
+            thr.step(2 * xs[0].n_fwd * spc)
             loss = losses_h[-1]
             arch_loss = alosses_h[-1]
 
@@ -685,6 +691,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     if profiler is not None:
         jax.profiler.stop_trace()
     pool.shutdown(wait=False, cancel_futures=True)
+    sample_pool.shutdown(wait=False, cancel_futures=True)
     genotypes = decoded()
     save_checkpoint(
         os.path.join(run_dir, "search_state.msgpack"),

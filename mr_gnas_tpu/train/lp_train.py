@@ -165,13 +165,6 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         log.info("resuming at epoch %s from %s", start_epoch, cfg.checkpoint)
 
     col_mask = graph.node_mask  # excludes padded entity columns
-    n_col_pad = graph.n_nodes - kg.num_ent
-
-    def pad_cols(labels):
-        """Zero-pad label columns to the (possibly padded) entity count."""
-        if n_col_pad == 0:
-            return labels
-        return np.pad(labels, ((0, 0), (0, n_col_pad)))
 
     # mask-weighted BCE: padded final-batch rows and padded entity
     # columns are excluded from the mean exactly (the reference's
@@ -179,27 +172,36 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # (bce_logits_loss): same value as the reference's BCELoss-on-
     # sigmoid, but the gradient survives decoder saturation (the probs
     # form's eps-clip stalls ConvE — NOTES round-3).
-    from mr_gnas_tpu.data.labels import smooth_labels
+    from mr_gnas_tpu.data.labels import (
+        labels_from_ids,
+        labels_from_ids_cols,
+        smooth_labels,
+    )
 
-    # labels arrive as uint8 multi-hot (iterate_batches raw_u8 — 4x fewer
-    # tunnel/PCIe bytes per step); the smoothing runs on device
-    def _train_loss(params, bstats, g, subj, rel, labels, row_mask, cmask, dkey, axis):
+    # labels arrive as packed [B, K] object-id rows (iterate_batches
+    # sparse_pad_id, K = max fan-out ~15 — ~1000x fewer tunnel/PCIe
+    # bytes than the [B, num_ent] multi-hot, the dominant transfer of
+    # every step, round-5); the exact multi-hot and its smoothing are
+    # rebuilt on device (labels_from_ids + smooth_labels)
+    def _train_loss(params, bstats, g, subj, rel, obj_ids, row_mask, cmask, dkey, axis):
         logits, mut = model.apply(
             {"params": params, "batch_stats": bstats},
             g, subj, rel, True,
             mutable=["batch_stats"], rngs={"dropout": dkey},
             method="logits",
         )
-        lab = smooth_labels(labels, cfg.lbl_smooth, kg.num_ent)
+        lab = smooth_labels(
+            labels_from_ids(obj_ids, graph.n_nodes), cfg.lbl_smooth, kg.num_ent
+        )
         l = bce_logits_loss(logits, lab, row_mask, cmask, axis=axis)
         return l, mut["batch_stats"]
 
-    def _eval_body(params, bstats, g, subj, rel, obj, labels, cmask, axis):
+    def _eval_body(params, bstats, g, subj, rel, obj, obj_ids, cmask, axis):
         logits = model.apply(
             {"params": params, "batch_stats": bstats}, g, subj, rel, False,
             method="logits",
         )
-        labels = labels.astype(jnp.float32)
+        labels = labels_from_ids(obj_ids, graph.n_nodes)
         loss = bce_logits_loss(logits, labels, None, cmask, axis=axis)
         # ranking on logits == ranking on probs (sigmoid is monotone);
         # row-sharded under SPMD: each device ranks its (s, r) query
@@ -236,19 +238,20 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
 
         n_cols = graph.n_nodes // model_n
 
-        def eval_body(params, bstats, gstack, subj, rel, obj, labels, cmask):
-            def f(params, bstats, gstack, subj, rel, obj, labels, cmask):
+        def eval_body(params, bstats, gstack, subj, rel, obj, obj_ids, cmask):
+            def f(params, bstats, gstack, subj, rel, obj, obj_ids, cmask):
                 g = local_view(gstack)
                 if model_n == 1:
                     return _eval_body(
-                        params, bstats, g, subj, rel, obj, labels, cmask,
+                        params, bstats, g, subj, rel, obj, obj_ids, cmask,
                         axis="data",
                     )
                 # TP analog (SURVEY §2.9): the 1-vs-N decode scores this
                 # device's entity-column block only (logits_cols slices
-                # the encoded table), labels/col_mask arrive column-
-                # sharded, and the filtered ranking is a per-shard count
-                # + psum over 'model' — no [B, N] score row anywhere.
+                # the encoded table), the label multi-hot is rebuilt
+                # column-sharded from the packed ids, and the filtered
+                # ranking is a per-shard count + psum over 'model' —
+                # no [B, N] score row anywhere.
                 from mr_gnas_tpu.train.eval import filtered_ranks_cols
 
                 logits = model.apply(
@@ -256,21 +259,22 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                     g, subj, rel, n_cols, "model", False,
                     method="logits_cols",
                 )
-                labels = labels.astype(jnp.float32)
+                labels = labels_from_ids_cols(
+                    obj_ids, n_cols, jax.lax.axis_index("model") * n_cols
+                )
                 loss = bce_logits_loss(
                     logits, labels, None, cmask, axis="data", col_axis="model"
                 )
                 ranks = filtered_ranks_cols(logits, labels, obj, cmask, "model")
                 return ranks, loss
 
-            lspec = P("data") if model_n == 1 else P("data", "model")
             cspec = P() if model_n == 1 else P("model")
             return jax.shard_map(
                 f, mesh=mesh,
                 in_specs=(P(), P(), gspec, P("data"), P("data"), P("data"),
-                          lspec, cspec),
+                          P("data"), cspec),
                 out_specs=(P("data"), P()),
-            )(params, bstats, gstack, subj, rel, obj, labels, cmask)
+            )(params, bstats, gstack, subj, rel, obj, obj_ids, cmask)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, bstats, opt_state, graph, subj, rel, labels, row_mask, dkey):
@@ -284,9 +288,9 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     # device-side training loop (--steps-per-call K): lax.scan K
-    # optimizer steps in ONE jitted call — the K label blocks ship as a
-    # single [K, B, N] uint8 transfer and the host pays one dispatch per
-    # K steps instead of per step. Same math as the per-step loop: the
+    # optimizer steps in ONE jitted call — the K packed label-id blocks
+    # ship as a single [K, B, fanout] transfer and the host pays one
+    # dispatch per K steps instead of per step. Same math as the per-step loop: the
     # scan body is train_step's computation and the dropout key is the
     # same fold_in(epoch_key, global_step); results agree to XLA
     # schedule-level float noise (equivalence-tested). Works under a
@@ -340,12 +344,12 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             )
 
         @jax.jit
-        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels):
+        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, obj_ids):
             logits = model.apply(
                 {"params": params, "batch_stats": bstats},
                 ent_emb, rel_embed, subj, rel, False, method="logits_from",
             )
-            labels = labels.astype(jnp.float32)
+            labels = labels_from_ids(obj_ids, graph.n_nodes)
             loss = bce_logits_loss(logits, labels, None, col_mask, axis=None)
             ranks = filtered_ranks(logits, labels, obj, col_mask)
             return ranks, loss
@@ -382,15 +386,15 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
             )(params, bstats, gstack)
 
         @jax.jit
-        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels):
-            def f(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels, cmask):
-                labels = labels.astype(jnp.float32)
+        def score_step(params, bstats, ent_emb, rel_embed, subj, rel, obj, obj_ids):
+            def f(params, bstats, ent_emb, rel_embed, subj, rel, obj, obj_ids, cmask):
                 if model_n == 1:
                     logits = model.apply(
                         {"params": params, "batch_stats": bstats},
                         ent_emb, rel_embed, subj, rel, False,
                         method="logits_from",
                     )
+                    labels = labels_from_ids(obj_ids, graph.n_nodes)
                     loss = bce_logits_loss(logits, labels, None, cmask, axis="data")
                     ranks = filtered_ranks(logits, labels, obj, cmask)
                     return ranks, loss
@@ -401,36 +405,42 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                     ent_emb, rel_embed, subj, rel, n_cols, "model", False,
                     method="logits_from_cols",
                 )
+                labels = labels_from_ids_cols(
+                    obj_ids, n_cols, jax.lax.axis_index("model") * n_cols
+                )
                 loss = bce_logits_loss(
                     logits, labels, None, cmask, axis="data", col_axis="model"
                 )
                 ranks = filtered_ranks_cols(logits, labels, obj, cmask, "model")
                 return ranks, loss
 
-            lspec = _P("data") if model_n == 1 else _P("data", "model")
             cspec = _P() if model_n == 1 else _P("model")
             return jax.shard_map(
                 f, mesh=mesh,
                 in_specs=(_P(), _P(), _P(), _P(), _P("data"), _P("data"),
-                          _P("data"), lspec, cspec),
+                          _P("data"), _P("data"), cspec),
                 out_specs=(_P("data"), _P()),
-            )(params, bstats, ent_emb, rel_embed, subj, rel, obj, labels, col_mask)
+            )(params, bstats, ent_emb, rel_embed, subj, rel, obj, obj_ids, col_mask)
 
     from mr_gnas_tpu.train.metrics import prefetched
 
     def _to_eval_arrays(batch):
-        trip, labels, mask = batch
+        trip, obj_ids, mask = batch
         return (
             jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-            jnp.asarray(trip[:, 2]), jnp.asarray(pad_cols(labels)), mask,
+            jnp.asarray(trip[:, 2]), jnp.asarray(obj_ids), mask,
         )
 
     def predict(qs, enc=None):
         results, losses = {}, []
-        # the [B, num_ent] label blocks are the transfer-heavy part of
-        # eval; build + ship them ahead of the device (prefetched)
+        # labels travel as packed [B, K] object-id rows (pad id =
+        # graph.n_nodes -> the device scatter's throwaway column) and
+        # are rebuilt on device — the [B, num_ent] block never crosses
+        # the host link; sampling/packing runs ahead (prefetched)
         for subj, rel, obj, labels, mask in prefetched(
-            iterate_batches(qs, kg.num_ent, cfg.batch_size, raw_u8=True),
+            iterate_batches(
+                qs, kg.num_ent, cfg.batch_size, sparse_pad_id=graph.n_nodes
+            ),
             _to_eval_arrays,
         ):
             if enc is None:
@@ -472,15 +482,15 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
         # float(loss) would sync the dispatch pipeline every step)
 
         def _to_train_arrays(batch):
-            trip, labels, mask = batch
+            trip, obj_ids, mask = batch
             return (
                 jnp.asarray(trip[:, 0]), jnp.asarray(trip[:, 1]),
-                jnp.asarray(pad_cols(labels)), jnp.asarray(mask),
+                jnp.asarray(obj_ids), jnp.asarray(mask),
             )
 
         batches = iterate_batches(
             triplets["train"], kg.num_ent, cfg.batch_size,
-            shuffle=True, rng=rng, raw_u8=True,
+            shuffle=True, rng=rng, sparse_pad_id=graph.n_nodes,
         )
         if spc == 1:
             for step, (subj, rel, labels, mask) in enumerate(
@@ -510,7 +520,7 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
                 return (
                     jnp.asarray(np.stack([t[:, 0] for t in trips])),
                     jnp.asarray(np.stack([t[:, 1] for t in trips])),
-                    jnp.asarray(np.stack([pad_cols(b[1]) for b in bufs])),
+                    jnp.asarray(np.stack([b[1] for b in bufs])),
                     jnp.asarray(np.stack([b[2] for b in bufs])),
                     len(bufs),
                 )

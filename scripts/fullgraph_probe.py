@@ -28,13 +28,20 @@ def main() -> None:
     ap.add_argument("--score-func", default="sf_ConvE")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--no-cache", action="store_true")
-    ap.add_argument("--scan-cells", type=int, default=-1,
-                    help="-1 auto, 0 off, 1 on (lax.scan over layers)")
+    ap.add_argument("--cache-dir", default="",
+                    help="use this compile-cache dir (fresh dir = honest "
+                         "cold-compile measurement)")
+    ap.add_argument("--pallas-agg", action="store_true",
+                    help="Pallas blocked-CSR aggregators instead of XLA "
+                         "scatters (cold-compile suspect at 544k rows)")
     args = ap.parse_args()
 
     import jax
 
-    if not args.no_cache:
+    if args.cache_dir:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    elif not args.no_cache:
         from bench import _enable_compile_cache
 
         _enable_compile_cache()
@@ -42,11 +49,9 @@ def main() -> None:
     from bench import make_step_lptrain
 
     t0 = time.perf_counter()
-    kw = {}
-    if args.scan_cells >= 0:
-        kw["scan_cells"] = bool(args.scan_cells)
     train_step, (params, bstats, opt_state), inputs = make_step_lptrain(
-        score_func=args.score_func, max_train_edges=args.max_edges, **kw
+        score_func=args.score_func, max_train_edges=args.max_edges,
+        pallas_agg=args.pallas_agg,
     )
     graph = inputs[0]
     t1 = time.perf_counter()
