@@ -33,6 +33,13 @@ def pytest_configure(config):
         "markers",
         "tpu: compiled-on-TPU checks (subprocess); auto-skip without a TPU",
     )
+    config.addinivalue_line(
+        "markers",
+        "smoke: the representative subset of the slow driver tier — all "
+        "four drivers, mesh, resume, and the scan-loop equivalences — "
+        "sized to finish inside a reviewer's 10-minute budget "
+        "(tier table in NOTES.md round-5)",
+    )
 
 
 @pytest.fixture

@@ -32,6 +32,7 @@ GENO_NC = (
 )
 
 
+@pytest.mark.smoke
 def test_lp_search_driver(tmp_path):
     cfg = LPSearchConfig(
         dataset="synthetic",
@@ -222,6 +223,7 @@ def test_lp_train_eval_every(tmp_path):
     assert 0.0 <= out["test"]["mrr"] <= 1.0
 
 
+@pytest.mark.smoke
 def test_lp_search_steps_per_call_equivalent(tmp_path):
     # the device-side search scan (--steps-per-call) must reproduce the
     # per-epoch loop: same split(fold_in(key(seed), epoch)) keys, same
@@ -264,6 +266,7 @@ def test_lp_search_steps_per_call_equivalent(tmp_path):
     )
 
 
+@pytest.mark.smoke
 def test_lp_train_steps_per_call_equivalent(tmp_path):
     # the device-side scan loop (--steps-per-call) must reproduce the
     # per-step loop exactly: same fold_in(epoch_key, step) dropout keys,
@@ -320,6 +323,7 @@ def test_lp_train_resume(tmp_path):
     assert out2["best"]["mrr"] >= 0.0
 
 
+@pytest.mark.smoke
 def test_lp_train_resume_exact(tmp_path):
     """Exact resume: 2 epochs straight == 1 epoch + resume, comparing the
     epoch-1 train loss and eval metrics bitwise (opt state + LR schedule
@@ -394,6 +398,7 @@ def test_lp_search_driver_mesh(tmp_path):
     np.testing.assert_allclose(out42["last_loss"], out1["last_loss"], rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_lp_train_driver_mesh(tmp_path):
     """lp-train with a (4,2) data x model mesh: the manual-SPMD step
     (edge shards + row-sharded (s, r) batches, dist/spmd.py) produces
@@ -434,6 +439,7 @@ def test_lp_train_driver_mesh(tmp_path):
     np.testing.assert_allclose(out8k["test"]["mrr"], out8["test"]["mrr"], rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_nc_search_driver(tmp_path):
     cfg = NCSearchConfig(
         dataset="synthetic",
@@ -479,6 +485,7 @@ def test_nc_train_driver_mesh(tmp_path):
     assert out8["best"]["test_acc"] > 0.25
 
 
+@pytest.mark.smoke
 def test_nc_train_driver(tmp_path):
     cfg = NCTrainConfig(
         dataset="synthetic",
@@ -498,6 +505,7 @@ def test_nc_train_driver(tmp_path):
     assert out["best"]["test_acc"] > 0.2  # learnable synthetic task
 
 
+@pytest.mark.smoke
 def test_lp_search_driver_chunked_negatives(tmp_path):
     """End-to-end search with chunk-shared negatives (--neg-chunk)."""
     cfg = LPSearchConfig(

@@ -23,6 +23,7 @@ from mr_gnas_tpu.train import (
 )
 
 
+@pytest.mark.smoke
 def test_lp_search_to_retrain(tmp_path):
     search_cfg = LPSearchConfig(
         dataset="synthetic",
@@ -56,6 +57,7 @@ def test_lp_search_to_retrain(tmp_path):
     assert 0.0 <= res["test"]["mrr"] <= 1.0
 
 
+@pytest.mark.smoke
 def test_nc_search_to_retrain(tmp_path):
     search_cfg = NCSearchConfig(
         dataset="synthetic",
