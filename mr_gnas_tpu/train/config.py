@@ -132,7 +132,7 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # graphs, graph/build.attach_csr static_pad). -1 = auto (on for TPU
     # backends, off elsewhere — interpret-mode Pallas on CPU is slow);
     # 0/1 force. +20% measured on v5e at the headline config (NOTES.md).
-    steps_per_call: int = 1  # device-side search loop: lax.scan this
+    steps_per_call: int = -1  # device-side search loop: lax.scan this
     # many search EPOCHS (arch step + weight step each, the reference's
     # one-optimization-step-per-epoch unit, search/mr_lp_search.py:193-
     # 251) per jitted call. The K epochs' sampled graphs + batches stack
@@ -141,8 +141,11 @@ class LPSearchConfig(BaseConfig, SearchMixin):
     # per K epochs. Genotype-patience semantics are EXACT: the scan
     # emits every epoch's alpha snapshot and the host decodes each in
     # order. Same math as the per-epoch loop (same fold_in(seed, epoch)
-    # key derivation; equivalence-tested). First-order architect,
-    # single-device path; ignored under a mesh / --unrolled.
+    # key derivation; equivalence-tested). -1 = auto: 8 on TPU (the
+    # remote-tunnel regime the round-5 phase study measured: per-epoch
+    # dispatch+fetch round trips dominate), 1 elsewhere. First-order
+    # architect, single-device path; forced to 1 under a mesh /
+    # --unrolled / non-dividing --eval-every.
 
 
 @dataclasses.dataclass
@@ -152,14 +155,15 @@ class LPTrainConfig(BaseConfig):
     epochs: int = 120
     batch_size: int = 256
     num_base_r: int = 23
-    steps_per_call: int = 1  # device-side training loop: lax.scan this
-    # many optimizer steps per jitted call (labels for the whole chunk
-    # ship in one transfer), hiding per-step host dispatch/transfer
+    steps_per_call: int = -1  # device-side training loop: lax.scan this
+    # many optimizer steps per jitted call (packed labels for the whole
+    # chunk ship in one transfer), hiding per-step host dispatch/transfer
     # latency — the driver-throughput lever for remote TPUs. 1 = the
-    # reference's step-per-call loop. Same math either way (scan body =
-    # train_step's computation, same fold_in dropout keys; losses agree
-    # to XLA-schedule float noise — equivalence-tested). Single-device
-    # path only; ignored under a mesh.
+    # reference's step-per-call loop; -1 = auto (8 on TPU, 1 elsewhere).
+    # Same math either way (scan body = train_step's computation, same
+    # fold_in dropout keys; losses agree to XLA-schedule float noise —
+    # equivalence-tested). Composes with --mesh-shape (round-5): the
+    # scan body is the shard_map'd step.
     eval_every: int = 1  # run the filtered-ranking valid+test pass every
     # N epochs (the reference evaluates every epoch,
     # train/mr_lp_train.py:233-240 — the default keeps that cadence; at

@@ -297,7 +297,10 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
     # (split(fold_in(key(seed), epoch))), and the scan emits EVERY
     # epoch's alpha snapshot so genotype-patience decoding is
     # bit-identical. First-order architect, single-device only.
-    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
+    spc = int(getattr(cfg, "steps_per_call", 1))
+    if spc < 0:  # auto: 8 on TPU (round-5 phase study), 1 elsewhere
+        spc = 8 if jax.default_backend() == "tpu" else 1
+    spc = max(1, spc)
     if spc > 1 and (mesh is not None or cfg.unrolled):
         log.info("steps-per-call: forced to 1 (mesh/unrolled path)")
         spc = 1

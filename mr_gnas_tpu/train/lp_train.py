@@ -297,7 +297,10 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # mesh too (round-5): the scan body IS the shard_map'd step — the
     # stacked [K, B, ...] label blocks ship unsharded and the in_specs
     # reshard each sliced step, identically to the per-step path.
-    spc = max(1, int(getattr(cfg, "steps_per_call", 1)))
+    spc = int(getattr(cfg, "steps_per_call", 1))
+    if spc < 0:  # auto: 8 on TPU (remote-tunnel regime), 1 elsewhere
+        spc = 8 if jax.default_backend() == "tpu" else 1
+    spc = max(1, spc)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_steps(params, bstats, opt_state, graph, subjs, rels, labels,
