@@ -477,6 +477,119 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         return ("one", pool.submit(make_batches, e))
 
     stop = False
+    # chunk-pipelining state: the dispatched-but-not-yet-fetched chunk's
+    # (start epoch, outs) — fetching it AFTER dispatching the next chunk
+    # hides the packed fetch + genotype decode behind device compute.
+    # state_epoch tracks which epoch the CURRENT device state corresponds
+    # to (it may be one chunk ahead of the outs being processed), so
+    # checkpoints/evals are tagged with the true state epoch and resume
+    # stays exact.
+    pending_outs = None
+    state_epoch = start_epoch - 1
+
+    def process_outs(e0, outs):
+        nonlocal fetch_outs, loss, arch_loss, stop, patience, best_geno, phase_s
+        _t0 = time.perf_counter()
+        if fetch_outs is None:
+            fetch_outs = PackedFetch(outs)
+        losses_h, alosses_h, alpha_hist = fetch_outs(outs)
+        loss = losses_h[-1]
+        arch_loss = alosses_h[-1]
+        for k in range(spc):
+            e = e0 + k
+            if cfg.finite_check_every and e % cfg.finite_check_every == 0:
+                from mr_gnas_tpu.train.metrics import guard_finite
+
+                guard_finite(
+                    float(losses_h[k]), e, log,
+                    save_fn=lambda: save_checkpoint(
+                        os.path.join(run_dir, "abort_state.msgpack"),
+                        {"params": params, "batch_stats": bstats,
+                         "alphas": alphas, "w_opt": w_opt, "a_opt": a_opt},
+                        {"epoch": state_epoch, "reason": "non-finite loss"},
+                    ),
+                )
+            if e % cfg.log_every == 0:
+                n_win = max(cfg.log_every, 1)
+                log.info(
+                    "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s | "
+                    "wait %.0fms steps %.0fms decode %.0fms /ep",
+                    e, float(losses_h[k]), float(alosses_h[k]),
+                    thr.edges_per_sec,
+                    1e3 * phase_s["wait"] / n_win,
+                    1e3 * phase_s["steps"] / n_win,
+                    1e3 * phase_s["decode"] / n_win,
+                )
+                phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
+                scalars.log(
+                    e, train_loss=float(losses_h[k]),
+                    arch_loss=float(alosses_h[k]),
+                    edges_per_sec=thr.edges_per_sec,
+                )
+            # genotype-patience on this epoch's alpha snapshot —
+            # bit-identical decode order vs the per-epoch loop
+            host_a = jax.tree.map(lambda x: np.asarray(x[k]), alpha_hist)
+            genos = decode_genotypes(host_a, spec, cfg.layers)
+            if cfg.search_score_fn:
+                from mr_gnas_tpu.ops.registry import SF_OPS
+
+                sf = SF_OPS[int(np.argmax(host_a["final"][0]))]
+                genos[-1] = dataclasses.replace(genos[-1], score_func=sf)
+            gjson = genotypes_to_json(genos)
+            if gjson == best_geno:
+                patience += 1
+            else:
+                patience = 0
+                best_geno = gjson
+            if patience >= cfg.max_patience:
+                log.info("Reached max patience; best genotype %s", best_geno)
+                stop = True
+                break
+        phase_s["decode"] += time.perf_counter() - _t0
+
+        if (
+            cfg.eval_every > 0
+            and any(
+                e > 0 and e % cfg.eval_every == 0
+                for e in range(e0, e0 + spc)
+            )
+            and not stop
+        ):
+            # chunk mode evaluates the CURRENT device state (possibly one
+            # chunk ahead of e0 — the in-search eval is advisory logging,
+            # not selection; tagged with the true state epoch)
+            ent, rel = model.apply(
+                {"params": params, "batch_stats": bstats}, test_graph,
+                alphas, False,
+            )
+            mrr, hit_k = calc_mrr(
+                ent, rel, kg.train, kg.valid, kg.test,
+                eval_bz=cfg.eval_batch_size, eval_p=cfg.eval_protocol,
+                num_ent=kg.num_ent, rank_filter=rank_filter,
+            )
+            log.info(
+                "Eval@%04d | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",
+                state_epoch, mrr, *hit_k,
+            )
+            scalars.log(state_epoch, test_mrr=mrr, test_hits10=hit_k[2])
+        if any(
+            e % cfg.save_model_freq == 0 and e > 0
+            for e in range(e0, e0 + spc)
+        ):
+            save_checkpoint(
+                os.path.join(run_dir, "search_state.msgpack"),
+                {"params": params, "batch_stats": bstats, "alphas": alphas,
+                 "w_opt": w_opt, "a_opt": a_opt},
+                {"epoch": state_epoch, "genotypes": best_geno},
+            )
+
+    def drain_outs():
+        nonlocal pending_outs
+        if pending_outs is not None:
+            e0o, outs_o = pending_outs
+            pending_outs = None
+            process_outs(e0o, outs_o)
+
     pending = _submit(start_epoch)
     epoch = start_epoch
     while epoch < n_steps and not stop:
@@ -490,104 +603,17 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             params, bstats, alphas, w_opt, a_opt, outs = search_epochs(
                 params, bstats, alphas, w_opt, a_opt, base_key, xs
             )
-            if fetch_outs is None:
-                fetch_outs = PackedFetch(outs)
-            losses_h, alosses_h, alpha_hist = fetch_outs(outs)
             phase_s["steps"] += time.perf_counter() - _t0
+            state_epoch = epoch + spc - 1
             thr.step(2 * xs[0].n_fwd * spc)
-            loss = losses_h[-1]
-            arch_loss = alosses_h[-1]
-
-            _t0 = time.perf_counter()
-            for k in range(spc):
-                e = epoch + k
-                if cfg.finite_check_every and e % cfg.finite_check_every == 0:
-                    from mr_gnas_tpu.train.metrics import guard_finite
-
-                    guard_finite(
-                        float(losses_h[k]), e, log,
-                        save_fn=lambda: save_checkpoint(
-                            os.path.join(run_dir, "abort_state.msgpack"),
-                            {"params": params, "batch_stats": bstats,
-                             "alphas": alphas, "w_opt": w_opt, "a_opt": a_opt},
-                            {"epoch": e, "reason": "non-finite loss"},
-                        ),
-                    )
-                if e % cfg.log_every == 0:
-                    n_win = max(cfg.log_every, 1)
-                    log.info(
-                        "Epoch %04d | Loss %.4f | Arch_Loss %.4f | %.0f edges/s | "
-                        "wait %.0fms steps %.0fms decode %.0fms /ep",
-                        e, float(losses_h[k]), float(alosses_h[k]),
-                        thr.edges_per_sec,
-                        1e3 * phase_s["wait"] / n_win,
-                        1e3 * phase_s["steps"] / n_win,
-                        1e3 * phase_s["decode"] / n_win,
-                    )
-                    phase_s = {"wait": 0.0, "steps": 0.0, "decode": 0.0}
-                    scalars.log(
-                        e, train_loss=float(losses_h[k]),
-                        arch_loss=float(alosses_h[k]),
-                        edges_per_sec=thr.edges_per_sec,
-                    )
-                # genotype-patience on this epoch's alpha snapshot —
-                # bit-identical decode order vs the per-epoch loop
-                host_a = jax.tree.map(lambda x: np.asarray(x[k]), alpha_hist)
-                genos = decode_genotypes(host_a, spec, cfg.layers)
-                if cfg.search_score_fn:
-                    from mr_gnas_tpu.ops.registry import SF_OPS
-
-                    sf = SF_OPS[int(np.argmax(host_a["final"][0]))]
-                    genos[-1] = dataclasses.replace(genos[-1], score_func=sf)
-                gjson = genotypes_to_json(genos)
-                if gjson == best_geno:
-                    patience += 1
-                else:
-                    patience = 0
-                    best_geno = gjson
-                if patience >= cfg.max_patience:
-                    log.info("Reached max patience; best genotype %s", best_geno)
-                    stop = True
-                    break
-            phase_s["decode"] += time.perf_counter() - _t0
-
-            last_e = epoch + spc - 1
-            if (
-                cfg.eval_every > 0
-                and any(
-                    e > 0 and e % cfg.eval_every == 0
-                    for e in range(epoch, epoch + spc)
-                )
-                and not stop
-            ):
-                # chunk mode evaluates the end-of-chunk state (the
-                # in-search eval is advisory logging, not selection)
-                ent, rel = model.apply(
-                    {"params": params, "batch_stats": bstats}, test_graph,
-                    alphas, False,
-                )
-                mrr, hit_k = calc_mrr(
-                    ent, rel, kg.train, kg.valid, kg.test,
-                    eval_bz=cfg.eval_batch_size, eval_p=cfg.eval_protocol,
-                    num_ent=kg.num_ent, rank_filter=rank_filter,
-                )
-                log.info(
-                    "Eval@%04d | MRR %.4f | H@1 %.4f H@3 %.4f H@10 %.4f",
-                    last_e, mrr, *hit_k,
-                )
-                scalars.log(last_e, test_mrr=mrr, test_hits10=hit_k[2])
-            if any(
-                e % cfg.save_model_freq == 0 and e > 0
-                for e in range(epoch, epoch + spc)
-            ):
-                save_checkpoint(
-                    os.path.join(run_dir, "search_state.msgpack"),
-                    {"params": params, "batch_stats": bstats, "alphas": alphas,
-                     "w_opt": w_opt, "a_opt": a_opt},
-                    {"epoch": last_e, "genotypes": best_geno},
-                )
+            # fetch/decode the PREVIOUS chunk while this one computes
+            drain_outs()
+            pending_outs = (epoch, outs)
             epoch += spc
             continue
+        drain_outs()
+        if stop:
+            break
         # optional profiler capture of the first post-compile steps
         if cfg.profile_steps > 0 and epoch == start_epoch + 2:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
@@ -621,6 +647,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             params, bstats, w_opt, alphas, batch.graph, trip, lab, k2
         )
         phase_s["steps"] += time.perf_counter() - _t0
+        state_epoch = epoch
         # under a mesh the stacked local graph's n_edge_rows is per-shard
         thr.step(batch.graph.n_edge_rows * (data_n if mesh is not None else 1))
 
@@ -691,6 +718,7 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
             )
         epoch += 1
 
+    drain_outs()  # the final in-flight chunk's losses/patience decode
     if profiler is not None:
         jax.profiler.stop_trace()
     pool.shutdown(wait=False, cancel_futures=True)
@@ -700,7 +728,11 @@ def run_lp_search(cfg: LPSearchConfig, max_steps: int | None = None) -> dict:
         os.path.join(run_dir, "search_state.msgpack"),
         {"params": params, "batch_stats": bstats, "alphas": alphas,
          "w_opt": w_opt, "a_opt": a_opt},
-        {"epoch": n_steps - 1, "genotypes": genotypes_to_json(genotypes)},
+        # the true epoch of the saved state: patience stops can leave the
+        # state up to one chunk past the decision epoch (chunk pipelining)
+        {"epoch": max(state_epoch, start_epoch - 1)
+         if stop else n_steps - 1,
+         "genotypes": genotypes_to_json(genotypes)},
     )
     with open(os.path.join(run_dir, "genotypes.json"), "w") as f:
         f.write(genotypes_to_json(genotypes))
