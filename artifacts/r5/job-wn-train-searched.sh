@@ -14,4 +14,4 @@ python -m mr_gnas_tpu.cli lp-train --compile-cache .jax_cache --dataset syntheti
   --epochs 30 --eval-every 5 --batch-size 1024 --seed 0 \
   --feature-dim 128 --init-fea-dim 128 --num-base-r 23 \
   --genotype "$(cat artifacts/r5/geno-wn-searched.json)" \
-  --save-dir artifacts/r5/wn-train-searched --log-every 100 --save-model-freq 10 --pallas-agg true
+  --save-dir artifacts/r5/wn-train-searched --log-every 100 --save-model-freq 10 --steps-per-call 1 --pallas-agg true

@@ -8,7 +8,7 @@ python -m mr_gnas_tpu.cli lp-train --compile-cache .jax_cache --dataset syntheti
   --epochs 30 --eval-every 5 --batch-size 1024 --seed $seed \
   --feature-dim 128 --init-fea-dim 128 --num-base-r 23 \
   --genotype "\$(cat artifacts/r5/geno-$arm.json)" \
-  --save-dir artifacts/r5/arm-$arm-s$seed --log-every 100 --save-model-freq 10 $EXTRA
+  --save-dir artifacts/r5/arm-$arm-s$seed --log-every 100 --save-model-freq 10 --steps-per-call 1 $EXTRA
 JOB
   done
 done
