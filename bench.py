@@ -482,6 +482,7 @@ def _enable_compile_cache():
 
 def main():
     import argparse
+    import re
     import subprocess
     import sys
 
@@ -507,6 +508,10 @@ def main():
     ap.add_argument(
         "--no-nc", action="store_true",
         help="skip the NC sub-benchmark in the default lp run",
+    )
+    ap.add_argument(
+        "--no-driver", action="store_true",
+        help="skip the driver-level search throughput sub-benchmark",
     )
     ap.add_argument(
         "--spmd", action="store_true",
@@ -627,6 +632,36 @@ def main():
         }
     if nc_result is not None:
         out["nc"] = nc_result
+
+    if not args.headline_only and not args.no_driver:
+        # DRIVER-level search throughput (not just the jitted step): a
+        # 300-epoch dress-config search through the real lp-search driver
+        # (--steps-per-call auto=8, wire format, pipelined chunk fetch —
+        # the round-5 host-path work). Subprocess: one process, one
+        # measured config, and the tunnel is single-tenant. epochs=300
+        # matches the cached search HLO (the cosine length is baked in).
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "mr_gnas_tpu.cli", "lp-search",
+                 "--compile-cache", ".jax_cache",
+                 "--dataset", "synthetic-fb", "--epochs", "300",
+                 "--warm-epochs", "10", "--max-patience", "500",
+                 "--feature-dim", "200", "--init-fea-dim", "100",
+                 "--num-base-r", "475", "--graph-batch-size", "131072",
+                 "--graph-batch-size-val", "16384",
+                 "--save-dir", "/tmp/bench-driver", "--log-every", "100",
+                 "--save-model-freq", "1000"],
+                capture_output=True, text=True, timeout=1500,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            m = re.findall(r"'edges_per_sec': ([0-9.]+)", proc.stdout)
+            out["search_driver"] = {
+                "edges_per_sec": round(float(m[-1]), 1),
+                "config": "dress config (131k batch), 300 epochs through "
+                          "the lp-search driver, steps-per-call auto",
+            }
+        except Exception as e:  # the headline must survive a driver hiccup
+            out["search_driver"] = {"error": f"{type(e).__name__}: {e}"}
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
     vs = 1.0
