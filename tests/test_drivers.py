@@ -304,6 +304,28 @@ def test_lp_train_steps_per_call_equivalent(tmp_path):
     np.testing.assert_allclose(losses(out1), losses(out2), rtol=1e-5)
 
 
+def test_lp_train_pallas_agg_matches(tmp_path):
+    """--pallas-agg routes the retrain aggregators through the blocked-
+    CSR kernels (the round-5 cold-compile mitigation arm); same math as
+    the XLA scatter path — MRR must agree to BN-reassociation noise."""
+    base = dict(
+        dataset="synthetic",
+        feature_dim=16,
+        init_fea_dim=8,
+        num_base_r=4,
+        batch_size=32,
+        epochs=1,
+        genotype=GENO_LP,
+        dropout_cell=0.0,
+        drop_aggr=0.0,
+    )
+    out_x = run_lp_train(LPTrainConfig(save_dir=str(tmp_path / "x"), **base))
+    out_p = run_lp_train(
+        LPTrainConfig(save_dir=str(tmp_path / "p"), pallas_agg=True, **base)
+    )
+    np.testing.assert_allclose(out_p["test"]["mrr"], out_x["test"]["mrr"], rtol=5e-3)
+
+
 def test_lp_train_resume(tmp_path):
     cfg = LPTrainConfig(
         dataset="synthetic",
