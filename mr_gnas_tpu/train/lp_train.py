@@ -298,8 +298,15 @@ def run_lp_train(cfg: LPTrainConfig, max_epochs: int | None = None) -> dict:
     # stacked [K, B, ...] label blocks ship unsharded and the in_specs
     # reshard each sliced step, identically to the per-step path.
     spc = int(getattr(cfg, "steps_per_call", 1))
-    if spc < 0:  # auto: 8 on TPU (remote-tunnel regime), 1 elsewhere
-        spc = 8 if jax.default_backend() == "tpu" else 1
+    if spc < 0:
+        # auto: 8 on TPU (remote-tunnel regime), 1 elsewhere — EXCEPT at
+        # full-graph scale, where the scan-wrapped program is compile-
+        # pathological (>45 min server compile at 558k rows, NOTES
+        # round-5 measured negative) and the K=1 driver already runs at
+        # its jitted step rate (sparse labels + prefetch), so K>1 has
+        # nothing left to recover.
+        big = graph.n_edge_rows > (1 << 18)
+        spc = 8 if jax.default_backend() == "tpu" and not big else 1
     spc = max(1, spc)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
