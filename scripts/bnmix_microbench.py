@@ -66,6 +66,7 @@ def main():
     w = jax.nn.softmax(jax.random.normal(ks[6], (p, k)), axis=-1)
 
     # precomputed stats for the apply/bwd passes
+    print("precomputing stats...", flush=True)
     sums, sumsq = jax.jit(
         lambda s, uu, m: bn_mix_stats("first", s, uu, m, interp)
     )(slabs, u, mask)
@@ -76,8 +77,10 @@ def main():
     b = beta - mean * a
 
     def timed(name, fn, *xs, bytes_moved=0):
+        print(f"compiling {name}...", flush=True)
         f = jax.jit(fn)
         out = f(*xs)
+        print(f"  {name} compiled; timing", flush=True)
         jax.block_until_ready(out)
         # value fetch = reliable barrier through the tunnel
         t0 = time.perf_counter()
@@ -89,7 +92,7 @@ def main():
         gbps = bytes_moved / dt / 1e9 if bytes_moved else 0.0
         print(
             f"{name:12s} {dt * 1e3:8.3f} ms   {bytes_moved / 1e6:8.1f} MB"
-            f"   {gbps:7.1f} GB/s"
+            f"   {gbps:7.1f} GB/s", flush=True
         )
         return dt
 
@@ -97,7 +100,7 @@ def main():
     out_b = r * d * esz
     stat_b = 2 * p * k * d * 4
 
-    print(f"shapes: p={p} R={r} D={d} k={k} dtype={cdt.__name__}")
+    print(f"shapes: p={p} R={r} D={d} k={k} dtype={cdt.__name__}", flush=True)
     t_stats = timed(
         "fwd-stats",
         lambda s, uu, m: bn_mix_stats("first", s, uu, m, interp),
