@@ -167,15 +167,16 @@ def check_megakernel_step() -> None:
 
     l1, bs1, g1 = make_step(True)(params)
 
-    def _rel_l2(tree0, tree1, tol, what):
+    def _rel_l2(tree0, tree1, tol, what, abs_floor=1e-6):
         # Per-leaf contract: ||a-b|| < tol * ||b|| + abs_floor. The
         # absolute floor covers near-zero gradient directions (e.g. a BN
         # bias right before another normalization makes the loss
         # ~invariant: |g| ~ 1e-3-1e-6 while every real leaf is O(1e-1+)),
         # whose "relative" error is noise divided by itself — the same
-        # pathology fixed in tests/test_spmd.py round 4. The floor is 4+
-        # orders below the real-leaf signal, so it can't mask wiring bugs.
-        abs_floor = 1e-6
+        # pathology fixed in tests/test_spmd.py round 4. The default
+        # floor is 4+ orders below the real-leaf signal, so it can't
+        # mask wiring bugs; callers with cancellation-prone reduction
+        # leaves pass the measured drift class explicitly.
         leaves0 = sorted(
             jax.tree_util.tree_leaves_with_path(tree0), key=lambda x: str(x[0])
         )
@@ -228,7 +229,16 @@ def check_megakernel_step() -> None:
     # hold). A wiring bug shows at O(1) on these leaves, two orders
     # above this bound; same rounding-realistic class as the round-2
     # cross-session drift note.
-    _rel_l2(g1, gi, 1e-3, "grads[mosaic-vs-interpret]")
+    # abs floor 1e-3: the observed drift is ~4e-4 ABSOLUTE on BN
+    # bias-grad leaves regardless of leaf norm (measured 4.6e-4 at
+    # ||ref||=1.26 and 3.9e-4 at ||ref||=0.30, same session). Mechanism:
+    # a ReLU-boundary row (y = op*a+b within one rounding of 0) lands on
+    # different sides under Mosaic's fma order vs the interpret-lowered
+    # XLA order, toggling that row's ENTIRE dy term in S1 = sum(dy) —
+    # an absolute, measure-zero-rows effect, not a relative one. The
+    # loss (1e-5 rel), batch_stats (1e-4) and S2/dgamma contracts stay
+    # tight; a wiring bug is O(||leaf||), 2-3 orders above this floor.
+    _rel_l2(g1, gi, 1e-3, "grads[mosaic-vs-interpret]", abs_floor=1e-3)
     print("ok megakernel Mosaic-vs-interpret same-compile parity "
           "(stats<=1e-4, grads<=1e-3)")
 
