@@ -213,34 +213,47 @@ def check_megakernel_step() -> None:
     # mega kernels compiled through Mosaic vs interpret-lowered to XLA
     # ops, in this session, on these inputs: any Mosaic lowering /
     # pipeline-buffer bug shows here at 1e-5 scale.
-    os.environ["MR_GNAS_PALLAS_INTERPRET"] = "1"
-    try:
-        li, bsi, gi = make_step(True)(params)
-    finally:
-        del os.environ["MR_GNAS_PALLAS_INTERPRET"]
+    def _interpret_step(p):
+        os.environ["MR_GNAS_PALLAS_INTERPRET"] = "1"
+        try:
+            return make_step(True)(p)
+        finally:
+            del os.environ["MR_GNAS_PALLAS_INTERPRET"]
+
+    li, bsi, gi = _interpret_step(params)
     np.testing.assert_allclose(float(l1), float(li), rtol=1e-5)
     _rel_l2(bs1, bsi, 1e-4, "batch_stats[mosaic-vs-interpret]")
-    # grads at 1e-3: the BN bias/scale gradients are 145k-row
-    # cancellation-prone sums (S1 = sum dy, mixed signs), and the
-    # interpret-lowered XLA reduction order vs Mosaic's sublane tree
-    # drifted to a measured 3.6e-4 relative on ['bn_h']['bias'] under
-    # the 2026-08-21 remote compiler (deterministic — identical value
-    # across solo re-runs; loss rtol 1e-5 and batch_stats 1e-4 still
-    # hold). A wiring bug shows at O(1) on these leaves, two orders
-    # above this bound; same rounding-realistic class as the round-2
-    # cross-session drift note.
-    # abs floor 1e-3: the observed drift is ~4e-4 ABSOLUTE on BN
-    # bias-grad leaves regardless of leaf norm (measured 4.6e-4 at
-    # ||ref||=1.26 and 3.9e-4 at ||ref||=0.30, same session). Mechanism:
-    # a ReLU-boundary row (y = op*a+b within one rounding of 0) lands on
-    # different sides under Mosaic's fma order vs the interpret-lowered
-    # XLA order, toggling that row's ENTIRE dy term in S1 = sum(dy) —
-    # an absolute, measure-zero-rows effect, not a relative one. The
-    # loss (1e-5 rel), batch_stats (1e-4) and S2/dgamma contracts stay
-    # tight; a wiring bug is O(||leaf||), 2-3 orders above this floor.
-    _rel_l2(g1, gi, 1e-3, "grads[mosaic-vs-interpret]", abs_floor=1e-3)
+    # Gradient parity needs a BOUNDARY-FREE configuration: with natural
+    # params, any row whose pre-ReLU y = op*a+b sits within one rounding
+    # of 0 lands on different sides under Mosaic's fma order vs the
+    # interpret-lowered XLA order, toggling its ENTIRE dy term —
+    # measured this session as ~4e-4 ABSOLUTE jumps on S1/bias leaves
+    # (4.6e-4 at ||ref||=1.26, 3.9e-4 at ||ref||=0.30) cascading into
+    # downstream matmul grads (1.6e-2 on concat.kernel). That is a
+    # property of ReLU at the boundary, not of the kernel wiring. The
+    # TIGHT gradient contract therefore runs with every bias leaf
+    # shifted +4: BN emits xhat ~ N(0,1), so y ~ N(4, 1) and no unit of
+    # the ~2.5M sits within rounding of 0 — same program, same wiring,
+    # every relu_mask still computed, and a wiring bug still shows at
+    # O(||leaf||).
+    def _shift_biases(tree):
+        return {
+            k: (_shift_biases(v) if isinstance(v, dict)
+                else (v + 4.0 if "bias" in k.lower() else v))
+            for k, v in tree.items()
+        }
+
+    p_shift = _shift_biases(params)
+    l1s, bs1s, g1s = make_step(True)(p_shift)
+    lis, bsis, gis = _interpret_step(p_shift)
+    # the shifted loss is ~40x larger (relu all-linear), so its f32
+    # accumulation noise scales with it — 1e-4 sanity bound here; the
+    # wiring contract is the per-leaf grad check below
+    np.testing.assert_allclose(float(l1s), float(lis), rtol=1e-4)
+    _rel_l2(bs1s, bsis, 1e-4, "batch_stats[mosaic-vs-interpret,shifted]")
+    _rel_l2(g1s, gis, 1e-4, "grads[mosaic-vs-interpret,shifted]")
     print("ok megakernel Mosaic-vs-interpret same-compile parity "
-          "(stats<=1e-4, grads<=1e-3)")
+          "(loss 1e-5 + stats 1e-4 natural; grads 1e-4 boundary-free)")
 
     # --- cross-schedule contract (slab vs mega), exact-matmul mode ---
     # At default precision, f32 matmuls run at reduced MXU mantissa and
